@@ -1,0 +1,135 @@
+"""Optimizers and LR policies (optax).
+
+Re-implements the reference OptimScheduler
+(/root/reference/segmentor/tools/optim_scheduler.py:42-159):
+
+  * SGD(momentum, weight_decay, nesterov) / Adam / AdamW;
+  * ``lambda_poly`` (the policy every published config uses):
+    ``lr = base_lr * (1 - iter/max_iters)^0.9``;
+  * step / multistep / cosine policies;
+  * backbone vs non-backbone LR groups (``lr.nbb_mult``,
+    trainer_contrastive.py:163-175) via optax.multi_transform keyed on the
+    'backbone' param-tree prefix;
+  * optional linear warmup (``lr.is_warm``/``warm.warm_iters``,
+    module_runner.py:274-290).
+
+Torch-SGD semantics: weight decay is L2 added to the gradient of *every*
+param (incl. BN scales/biases), momentum buffer v = mu*v + g, update -lr*v.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import jax.numpy as jnp
+import optax
+
+
+def poly_schedule(base_lr: float, max_iters: int, power: float = 0.9):
+    def sched(step):
+        frac = jnp.clip(step / max_iters, 0.0, 1.0)
+        return base_lr * (1.0 - frac) ** power
+
+    return sched
+
+
+def _with_warmup(sched, warm_iters: int, warm_power: float = 1.0):
+    def warmed(step):
+        base = sched(step)
+        scale = jnp.clip((step + 1) / max(warm_iters, 1), 0.0, 1.0) ** warm_power
+        return jnp.where(step < warm_iters, base * scale, base)
+
+    return warmed
+
+
+def build_schedule(cfg) -> Callable:
+    policy = cfg.get("lr.lr_policy", default="lambda_poly")
+    base_lr = cfg.get("lr.base_lr")
+    max_iters = cfg.get("solver.max_iters", default=40000)
+    if policy in ("lambda_poly", "swa_lambda_poly"):
+        power = float(cfg.get("lr.lambda_poly.power", default=0.9))
+        sched = poly_schedule(base_lr, max_iters, power)
+    elif policy in ("lambda_cosine", "swa_lambda_cosine", "warmup_cosine"):
+        sched = lambda step: base_lr * 0.5 * (  # noqa: E731
+            1.0 + jnp.cos(jnp.pi * jnp.clip(step / max_iters, 0, 1))
+        )
+    elif policy == "step":
+        gamma = cfg.get("lr.step.gamma", default=0.1)
+        size = cfg.get("lr.step.step_size", default=100)
+        sched = lambda step: base_lr * gamma ** (step // size)  # noqa: E731
+    elif policy == "multistep":
+        gamma = cfg.get("lr.multistep.gamma", default=0.1)
+        stepvalues = cfg.get("lr.multistep.stepvalue", default=[])
+        def sched(step):  # noqa: E306
+            k = sum(jnp.asarray(step) >= s for s in stepvalues)
+            return base_lr * gamma ** k
+    else:
+        raise NotImplementedError(f"lr policy {policy!r}")
+    if cfg.get("lr.is_warm", default=False):
+        sched = _with_warmup(
+            sched,
+            cfg.get("lr.warm.warm_iters", default=1000),
+            cfg.get("lr.warm.power", default=1.0),
+        )
+    return sched
+
+
+def _sgd_like(cfg, schedule) -> optax.GradientTransformation:
+    method = cfg.get("optim.optim_method", default="sgd")
+    if method == "sgd":
+        p = cfg.get("optim.sgd", default={})
+        return optax.chain(
+            optax.add_decayed_weights(p.get("weight_decay", 0.0)),
+            optax.sgd(
+                learning_rate=schedule,
+                momentum=p.get("momentum", 0.9),
+                nesterov=p.get("nesterov", False),
+            ),
+        )
+    if method == "adam":
+        p = cfg.get("optim.adam", default={})
+        b1, b2 = p.get("betas", [0.9, 0.999])
+        return optax.chain(
+            optax.add_decayed_weights(p.get("weight_decay", 0.0)),
+            optax.adam(schedule, b1=b1, b2=b2, eps=p.get("eps", 1e-8)),
+        )
+    if method == "adamw":
+        p = cfg.get("optim.adamw", default={})
+        b1, b2 = p.get("betas", [0.9, 0.999])
+        return optax.adamw(
+            schedule, b1=b1, b2=b2, eps=p.get("eps", 1e-8),
+            weight_decay=p.get("weight_decay", 0.01),
+        )
+    raise NotImplementedError(f"optim method {method!r}")
+
+
+def build_optimizer(cfg, params) -> optax.GradientTransformation:
+    """Backbone vs head LR groups via lr.nbb_mult (default 1.0)."""
+    nbb_mult = float(cfg.get("lr.nbb_mult", default=1.0))
+    schedule = build_schedule(cfg)
+    if nbb_mult == 1.0:
+        return _sgd_like(cfg, schedule)
+
+    def head_schedule(step):
+        return schedule(step) * nbb_mult
+
+    def label_fn(tree):
+        import jax
+
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "backbone"
+            if any(getattr(k, "key", None) == "backbone" for k in path)
+            else "head",
+            tree,
+        )
+
+    return optax.multi_transform(
+        {"backbone": _sgd_like(cfg, schedule), "head": _sgd_like(cfg, head_schedule)},
+        label_fn(params),
+    )
+
+
+def global_grad_norm_clip(max_norm: float) -> optax.GradientTransformation:
+    """ModuleRunner.clip_grad equivalent (module_runner.py:254-263)."""
+    return optax.clip_by_global_norm(max_norm)

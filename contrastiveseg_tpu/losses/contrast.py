@@ -1,0 +1,123 @@
+"""Composite contrast+CE training losses.
+
+Re-implements ContrastCELoss / ContrastAuxCELoss
+(/root/reference/lib/loss/loss_contrast.py:150-234, loss_contrast_mem.py:174-231)
+as pure functions.  The warmup gate keeps the reference's semantics — the
+contrast term is always computed and scaled by 0 before warmup
+(`loss + 0 * loss_contrast`, loss_contrast.py:189); under jit this costs one
+multiply and keeps the compiled graph static across the warmup boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from contrastiveseg_tpu.losses.ce import aux_cross_entropy, cross_entropy
+from contrastiveseg_tpu.ops.contrast import ContrastSpec, pixel_contrast_loss
+from contrastiveseg_tpu.ops.queue import MemoryBank, bank_as_contrast_set
+from contrastiveseg_tpu.ops.resize import resize_bilinear_align_corners
+
+
+@dataclasses.dataclass(frozen=True)
+class ContrastCELoss:
+    """`contrast_ce_loss` / `mem_contrast_ce_loss` (with bank passed)."""
+
+    spec: ContrastSpec
+    loss_weight: float = 0.1
+    class_weight: Optional[tuple[float, ...]] = None
+    ignore_index: int = -1
+    use_aux: bool = False
+    aux_weight: float = 0.4
+    seg_weight: float = 1.0
+    include_class0: bool = True
+
+    def __call__(
+        self,
+        key: jax.Array,
+        outputs: dict[str, jnp.ndarray],
+        targets: jnp.ndarray,  # [B, H, W] int labels at full res
+        with_embed: jnp.ndarray | bool = True,
+        bank: Optional[MemoryBank] = None,
+    ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+        h, w = targets.shape[1], targets.shape[2]
+        seg = outputs["seg"]  # [B, h/s, w/s, C] stride-level logits
+        embed = outputs["embed"]
+
+        pred_full = resize_bilinear_align_corners(seg, (h, w))
+        if self.use_aux:
+            aux_full = resize_bilinear_align_corners(outputs["seg_aux"], (h, w))
+            seg_loss = aux_cross_entropy(
+                pred_full, aux_full, targets,
+                seg_weight=self.seg_weight, aux_weight=self.aux_weight,
+                class_weight=self.class_weight, ignore_index=self.ignore_index,
+            )
+        else:
+            seg_loss = cross_entropy(
+                pred_full, targets, self.class_weight, self.ignore_index
+            )
+
+        predict = jnp.argmax(seg, axis=-1).astype(jnp.int32)
+        if bank is not None:
+            q_f, q_l, q_v = bank_as_contrast_set(bank, self.include_class0)
+        else:
+            q_f = q_l = q_v = None
+        contrast = pixel_contrast_loss(
+            key, embed, targets, predict, self.spec, q_f, q_l, q_v
+        )
+        gate = jnp.asarray(with_embed, jnp.float32)
+        total = seg_loss + gate * self.loss_weight * contrast
+        return total, {
+            "loss_seg": seg_loss,
+            "loss_contrast": contrast,
+            "loss": total,
+        }
+
+
+@dataclasses.dataclass(frozen=True)
+class PlainSegLoss:
+    """fs_ce_loss / fs_auxce_loss on full-resolution (or upsampled) logits."""
+
+    class_weight: Optional[tuple[float, ...]] = None
+    ignore_index: int = -1
+    use_aux: bool = False
+    aux_weight: float = 0.4
+    seg_weight: float = 1.0
+    use_ohem: bool = False
+    ohem_thresh: float = 0.9
+    ohem_minkeep: int = 100000
+
+    def __call__(
+        self,
+        key: jax.Array,
+        outputs: dict[str, jnp.ndarray],
+        targets: jnp.ndarray,
+        with_embed: jnp.ndarray | bool = True,
+        bank: Optional[MemoryBank] = None,
+    ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+        del key, with_embed, bank
+        h, w = targets.shape[1], targets.shape[2]
+        seg = outputs["seg"]
+        if seg.shape[1:3] != (h, w):
+            seg = resize_bilinear_align_corners(seg, (h, w))
+        if self.use_ohem:
+            from contrastiveseg_tpu.losses.ce import ohem_cross_entropy
+
+            loss = ohem_cross_entropy(
+                seg, targets, self.ohem_thresh, self.ohem_minkeep,
+                self.class_weight, self.ignore_index,
+            )
+        elif self.use_aux and "seg_aux" in outputs:
+            aux = outputs["seg_aux"]
+            if aux.shape[1:3] != (h, w):
+                aux = resize_bilinear_align_corners(aux, (h, w))
+            loss = aux_cross_entropy(
+                seg, aux, targets, self.seg_weight, self.aux_weight,
+                self.class_weight, self.ignore_index,
+            )
+        else:
+            loss = cross_entropy(seg, targets, self.class_weight, self.ignore_index)
+        return loss, {"loss_seg": loss, "loss": loss}

@@ -1,0 +1,165 @@
+"""HRNet backbone, TPU-native (flax/NHWC).
+
+Re-design of the reference HighResolutionNet
+(/root/reference/lib/models/backbones/hrnet/hrnet_backbone.py:108-801) and its
+yacs stage specs (hrnet_config.py:46-181).  Semantics kept:
+
+  * stem: two stride-2 3x3 convs (64ch) -> layer1 = Bottleneck x4 (256ch);
+  * stages 2/3/4 of HighResolutionModules with cross-resolution fusion:
+    1x1 conv + BN + bilinear align_corners upsample for coarser->finer,
+    chains of stride-2 3x3 conv+BN (ReLU between, none on last) for
+    finer->coarser (hrnet_backbone.py:196-286);
+  * transitions insert the new lowest-resolution branch with a stride-2 conv.
+
+TPU-first differences: NHWC layout, fuse upsampling runs as separable MXU
+matmuls (ops/resize.py), BN is sync-by-construction under the mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from contrastiveseg_tpu.models.layers import BasicBlock, Bottleneck, ConvBN
+from contrastiveseg_tpu.ops.resize import resize_bilinear_align_corners
+
+
+@dataclasses.dataclass(frozen=True)
+class StageSpec:
+    num_modules: int
+    num_blocks: int
+    num_channels: tuple[int, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class HRNetSpec:
+    stem_width: int
+    stage1_blocks: int
+    stage1_width: int
+    stage2: StageSpec
+    stage3: StageSpec
+    stage4: StageSpec
+
+    @property
+    def out_channels(self) -> tuple[int, ...]:
+        return self.stage4.num_channels
+
+
+def _hrnet_spec(w: int) -> HRNetSpec:
+    return HRNetSpec(
+        stem_width=64,
+        stage1_blocks=4,
+        stage1_width=64,
+        stage2=StageSpec(1, 4, (w, 2 * w)),
+        stage3=StageSpec(4, 4, (w, 2 * w, 4 * w)),
+        stage4=StageSpec(3, 4, (w, 2 * w, 4 * w, 8 * w)),
+    )
+
+
+HRNET_SPECS: dict[str, HRNetSpec] = {
+    "hrnet18": _hrnet_spec(18),
+    "hrnet32": _hrnet_spec(32),
+    "hrnet48": _hrnet_spec(48),
+    "hrnet64": _hrnet_spec(64),
+}
+
+
+class HighResolutionModule(nn.Module):
+    """Parallel branches of BasicBlocks + full cross-resolution fusion."""
+
+    num_channels: tuple[int, ...]
+    num_blocks: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool) -> list[jnp.ndarray]:
+        nb = len(self.num_channels)
+        # Per-branch residual blocks.
+        feats = []
+        for i, x in enumerate(xs):
+            for k in range(self.num_blocks):
+                need_ds = k == 0 and x.shape[-1] != self.num_channels[i]
+                x = BasicBlock(
+                    self.num_channels[i],
+                    downsample=need_ds,
+                    dtype=self.dtype,
+                    name=f"branch{i}_block{k}",
+                )(x, train)
+            feats.append(x)
+        if nb == 1:
+            return feats
+
+        # Full fusion: out[i] = relu(sum_j path_{j->i}(feats[j])).
+        fused = []
+        for i in range(nb):
+            h, w = feats[i].shape[1], feats[i].shape[2]
+            acc = feats[i]
+            for j in range(nb):
+                if j == i:
+                    continue
+                if j > i:  # coarser -> finer: 1x1 conv+BN then upsample
+                    y = ConvBN(
+                        self.num_channels[i], 1, 1, use_relu=False,
+                        dtype=self.dtype, name=f"fuse{i}_{j}",
+                    )(feats[j], train)
+                    y = resize_bilinear_align_corners(y, (h, w))
+                else:  # finer -> coarser: chain of stride-2 3x3 convs
+                    y = feats[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        y = ConvBN(
+                            self.num_channels[i] if last else self.num_channels[j],
+                            3, 2, use_relu=not last, dtype=self.dtype,
+                            name=f"fuse{i}_{j}_ds{k}",
+                        )(y, train)
+                acc = acc + y
+            fused.append(nn.relu(acc))
+        return fused
+
+
+class HRNet(nn.Module):
+    """Returns the four multi-resolution feature maps (strides 4/8/16/32)."""
+
+    spec: HRNetSpec
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> list[jnp.ndarray]:
+        s = self.spec
+        # Stem: two stride-2 convs (hrnet_backbone.py:516-528).
+        x = ConvBN(s.stem_width, 3, 2, use_relu=True, dtype=self.dtype,
+                   name="stem1")(x, train)
+        x = ConvBN(s.stem_width, 3, 2, use_relu=True, dtype=self.dtype,
+                   name="stem2")(x, train)
+        # Layer1: Bottleneck x4 -> 256 channels.
+        for k in range(s.stage1_blocks):
+            x = Bottleneck(
+                s.stage1_width, downsample=(k == 0), dtype=self.dtype,
+                name=f"layer1_block{k}",
+            )(x, train)
+
+        xs = [x]
+        for stage_idx, stage in enumerate((s.stage2, s.stage3, s.stage4), start=2):
+            # Transition: adapt existing branches, spawn the new coarser one.
+            new_xs = []
+            for i, c in enumerate(stage.num_channels):
+                if i < len(xs):
+                    if xs[i].shape[-1] != c:
+                        y = ConvBN(c, 3, 1, use_relu=True, dtype=self.dtype,
+                                   name=f"transition{stage_idx}_b{i}")(xs[i], train)
+                    else:
+                        y = xs[i]
+                else:
+                    y = ConvBN(c, 3, 2, use_relu=True, dtype=self.dtype,
+                               name=f"transition{stage_idx}_b{i}")(xs[-1], train)
+                new_xs.append(y)
+            xs = new_xs
+            for m in range(stage.num_modules):
+                xs = HighResolutionModule(
+                    stage.num_channels, stage.num_blocks, dtype=self.dtype,
+                    name=f"stage{stage_idx}_module{m}",
+                )(xs, train)
+        return xs

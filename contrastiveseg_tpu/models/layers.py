@@ -1,0 +1,128 @@
+"""Shared flax building blocks (NHWC, TPU layouts).
+
+BatchNorm note: under global-view jit over a sharded batch, `nn.BatchNorm`
+reduces over the *global* batch, so XLA inserts the cross-device collectives
+automatically — this is SyncBN by construction and replaces the reference's
+entire native syncbn/inplace_abn stack (lib/extensions/syncbn/**,
+SURVEY.md §2.10).  Torch BN defaults are matched: eps=1e-5 and torch
+momentum 0.1 == flax momentum 0.9.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Torch-default BN hyperparams used across the reference (bn_momentum=0.1).
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch defaults; `train` toggles running-average use."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+class ConvBN(nn.Module):
+    """Conv2d (no bias) -> BN [-> ReLU].  NHWC."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    dilation: int = 1
+    use_relu: bool = True
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        pad = self.dilation * (self.kernel_size - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=[(pad, pad), (pad, pad)],
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = TorchBatchNorm(dtype=self.dtype, name="norm")(x, train)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """HRNet/ResNet basic residual block (3x3, 3x3), expansion 1.
+
+    Reference: lib/models/backbones/hrnet/hrnet_backbone.py:35-66.
+    """
+
+    features: int
+    strides: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        residual = x
+        out = ConvBN(
+            self.features, 3, self.strides, self.dilation, use_relu=True,
+            dtype=self.dtype, name="conv1",
+        )(x, train)
+        out = ConvBN(
+            self.features, 3, 1, self.dilation, use_relu=False,
+            dtype=self.dtype, name="conv2",
+        )(out, train)
+        if self.downsample:
+            residual = ConvBN(
+                self.features, 1, self.strides, use_relu=False,
+                dtype=self.dtype, name="downsample",
+            )(x, train)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    """Bottleneck residual block (1x1, 3x3, 1x1 x4), expansion 4.
+
+    Reference: hrnet_backbone.py:68-106 / resnet_models.py Bottleneck.
+    """
+
+    features: int  # bottleneck width; output = features * 4
+    strides: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        residual = x
+        out = ConvBN(self.features, 1, 1, use_relu=True, dtype=self.dtype,
+                     name="conv1")(x, train)
+        out = ConvBN(self.features, 3, self.strides, self.dilation,
+                     use_relu=True, dtype=self.dtype, name="conv2")(out, train)
+        out = ConvBN(self.features * 4, 1, 1, use_relu=False, dtype=self.dtype,
+                     name="conv3")(out, train)
+        if self.downsample:
+            residual = ConvBN(
+                self.features * 4, 1, self.strides, use_relu=False,
+                dtype=self.dtype, name="downsample",
+            )(x, train)
+        return nn.relu(out + residual)

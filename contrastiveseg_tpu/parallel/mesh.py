@@ -1,0 +1,52 @@
+"""Device mesh + sharding helpers: the whole distributed layer.
+
+Replaces the reference's launcher / DDP / NCCL stack (lib/utils/distributed.py,
+lib/extensions/parallel/**, SURVEY.md §2.9) with JAX global-view SPMD:
+
+  * data parallelism = batch sharded over the ``data`` mesh axis; gradients,
+    BN batch stats, confusion matrices and queue updates become XLA
+    collectives inserted by the partitioner — no hand-written all-reduce;
+  * the memory bank can be replicated (default; consistent by construction,
+    fixing the reference's per-rank drift) or sharded over the memory axis
+    with the loss matmul all-gathering over ICI;
+  * multi-host: ``jax.distributed.initialize`` + per-host data feeding via
+    ``jax.make_array_from_process_local_data`` (pipeline.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_name: str = "data"
+) -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]).reshape(n), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Device-put a host batch dict with the leading dim sharded."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_state(state: Any, mesh: Mesh) -> Any:
+    """Replicate the train state across the mesh (params are small enough
+    for pure DP; model sharding hooks in here later if ever needed)."""
+    rep = replicate(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)

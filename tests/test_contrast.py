@@ -1,0 +1,228 @@
+"""Contrast loss: math equivalence vs a direct torch port of the reference,
+plus sampler invariants (the reference sampler itself is unvectorizable, so
+we verify our static-shape sampler reproduces its *distribution rules*)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from contrastiveseg_tpu.ops.contrast import (
+    AnchorSet,
+    ContrastSpec,
+    contrastive_loss,
+    hard_anchor_sample,
+    pixel_contrast_loss,
+)
+
+
+def _norm(x, axis=-1):
+    return x / np.linalg.norm(x, axis=axis, keepdims=True)
+
+
+def _torch_contrastive(feats_, labels_, temperature, base_temperature, queue=None):
+    """Direct port of PixelContrastLoss._contrastive
+    (loss_contrast.py:91-128 / loss_contrast_mem.py:107-152)."""
+    feats_ = torch.from_numpy(feats_)
+    labels_ = torch.from_numpy(labels_).float()
+    anchor_num, n_view = feats_.shape[0], feats_.shape[1]
+    labels_ = labels_.contiguous().view(-1, 1)
+
+    if queue is not None:
+        class_num, cache_size, feat_size = queue.shape
+        X_ = torch.zeros((class_num * cache_size, feat_size)).float()
+        y_ = torch.zeros((class_num * cache_size, 1)).float()
+        ptr = 0
+        for ii in range(class_num):
+            if ii == 0:
+                continue
+            X_[ptr:ptr + cache_size, ...] = torch.from_numpy(queue[ii])
+            y_[ptr:ptr + cache_size, ...] = ii
+            ptr += cache_size
+        y_contrast = y_.contiguous().view(-1, 1)
+        contrast_count = 1
+        contrast_feature = X_
+    else:
+        y_contrast = labels_
+        contrast_count = n_view
+        contrast_feature = torch.cat(torch.unbind(feats_, dim=1), dim=0)
+
+    anchor_feature = torch.cat(torch.unbind(feats_, dim=1), dim=0)
+    anchor_count = n_view
+
+    mask = torch.eq(labels_, y_contrast.T).float()
+    anchor_dot_contrast = torch.div(
+        torch.matmul(anchor_feature, contrast_feature.T), temperature
+    )
+    logits_max, _ = anchor_dot_contrast.max(dim=1, keepdim=True)
+    logits = anchor_dot_contrast - logits_max.detach()
+
+    mask = mask.repeat(anchor_count, contrast_count)
+    neg_mask = 1 - mask
+    logits_mask = torch.ones_like(mask).scatter_(
+        1, torch.arange(anchor_num * anchor_count).view(-1, 1), 0
+    )
+    mask = mask * logits_mask
+    neg_logits = (torch.exp(logits) * neg_mask).sum(1, keepdim=True)
+    exp_logits = torch.exp(logits)
+    log_prob = logits - torch.log(exp_logits + neg_logits)
+    mean_log_prob_pos = (mask * log_prob).sum(1) / mask.sum(1)
+    loss = -(temperature / base_temperature) * mean_log_prob_pos
+    return loss.mean().item()
+
+
+def _as_anchor_set(feats, labels):
+    """[A, V, D] -> view-major flat AnchorSet (all valid), like the torch cat."""
+    A, V, D = feats.shape
+    flat = feats.transpose(1, 0, 2).reshape(A * V, D)
+    lab = np.tile(labels, V)
+    return AnchorSet(
+        feats=jnp.asarray(flat),
+        labels=jnp.asarray(lab.astype(np.int32)),
+        valid=jnp.ones(A * V, dtype=bool),
+    )
+
+
+def test_within_batch_matches_torch():
+    rng = np.random.default_rng(0)
+    A, V, D = 6, 4, 16
+    feats = _norm(rng.standard_normal((A, V, D)).astype(np.float32))
+    labels = rng.integers(0, 5, size=A).astype(np.int64)
+    labels[:2] = labels[2:4]  # force shared classes across slots
+    spec = ContrastSpec(num_classes=5, max_samples=A * V, max_views=V,
+                        temperature=0.1, base_temperature=0.07)
+    ours = float(contrastive_loss(_as_anchor_set(feats, labels), spec))
+    ref = _torch_contrastive(feats, labels.astype(np.float32), 0.1, 0.07)
+    assert abs(ours - ref) < 1e-4, (ours, ref)
+
+
+def test_padded_anchors_do_not_change_loss():
+    rng = np.random.default_rng(1)
+    A, V, D = 4, 3, 8
+    feats = _norm(rng.standard_normal((A, V, D)).astype(np.float32))
+    labels = np.array([1, 1, 2, 3], dtype=np.int64)
+    spec = ContrastSpec(num_classes=4, max_samples=A * V + 7, max_views=V)
+    base = _as_anchor_set(feats, labels)
+    # Pad with garbage rows marked invalid.
+    pad = 7
+    padded = AnchorSet(
+        feats=jnp.concatenate(
+            [base.feats, jnp.asarray(rng.standard_normal((pad, D)), jnp.float32)]
+        ),
+        labels=jnp.concatenate([base.labels, jnp.full((pad,), 2, jnp.int32)]),
+        valid=jnp.concatenate([base.valid, jnp.zeros(pad, bool)]),
+    )
+    spec_small = ContrastSpec(num_classes=4, max_samples=A * V, max_views=V)
+    a = float(contrastive_loss(base, spec_small))
+    b = float(contrastive_loss(padded, spec))
+    assert abs(a - b) < 1e-5
+
+
+def test_memory_queue_matches_torch():
+    """Mem-variant math vs the reference port, arranged so the reference's
+    diag-scatter quirk is a no-op (first A*V queue rows are a class absent
+    from the anchors) and its zero-row artifact is replicated explicitly."""
+    rng = np.random.default_rng(2)
+    A, V, D, C, cache = 4, 2, 16, 4, 10
+    feats = _norm(rng.standard_normal((A, V, D)).astype(np.float32))
+    labels = np.array([2, 2, 3, 3], dtype=np.int64)  # classes 2,3 only
+    queue = _norm(rng.standard_normal((C, cache, D)).astype(np.float32))
+
+    ref = _torch_contrastive(feats, labels.astype(np.float32), 0.07, 0.07,
+                             queue=queue)
+
+    # Replicate the reference's contrast set layout: classes 1..C-1 followed
+    # by `cache` zero rows labeled 0.
+    q_feats = np.concatenate(
+        [queue[1:].reshape(-1, D), np.zeros((cache, D), np.float32)]
+    )
+    q_labels = np.concatenate(
+        [np.repeat(np.arange(1, C), cache), np.zeros(cache)]
+    ).astype(np.int32)
+    spec = ContrastSpec(num_classes=C, max_samples=A * V, max_views=V,
+                        temperature=0.07, base_temperature=0.07)
+    ours = float(
+        contrastive_loss(
+            _as_anchor_set(feats, labels), spec,
+            queue_feats=jnp.asarray(q_feats),
+            queue_labels=jnp.asarray(q_labels),
+            queue_valid=jnp.ones(len(q_labels), bool),
+        )
+    )
+    assert abs(ours - ref) < 1e-4, (ours, ref)
+
+
+def _make_scene(B=2, H=8, W=8, C=4, D=6, seed=0):
+    rng = np.random.default_rng(seed)
+    # Embed encodes its own (b, pixel) identity for traceability.
+    embed = np.zeros((B, H * W, D), np.float32)
+    embed[..., 0] = np.arange(B)[:, None]
+    embed[..., 1] = np.arange(H * W)[None, :]
+    labels = rng.integers(0, C, size=(B, H * W)).astype(np.int32)
+    predict = labels.copy()
+    flip = rng.random((B, H * W)) < 0.3  # 30% mispredicted -> hard pixels
+    predict[flip] = (labels[flip] + 1) % C
+    return embed, labels, predict
+
+
+def test_sampler_invariants():
+    B, H, W, C, D = 2, 8, 8, 4, 6
+    embed, labels, predict = _make_scene(B, H, W, C, D)
+    max_views, max_samples = 10, 48
+    spec = ContrastSpec(num_classes=C, max_samples=max_samples,
+                        max_views=max_views)
+    out = hard_anchor_sample(
+        jax.random.key(0), jnp.asarray(embed), jnp.asarray(labels),
+        jnp.asarray(predict), spec,
+    )
+    feats, labs, valid = map(np.asarray, out)
+
+    counts = np.stack([(labels == c).sum(axis=1) for c in range(C)], axis=1)
+    slot_valid = counts > max_views
+    total_classes = slot_valid.sum()
+    n_view = min(max_samples // total_classes, max_views)
+    assert valid.sum() == total_classes * n_view
+
+    # Each valid anchor must reference a real pixel of its class.
+    for i in np.nonzero(valid)[0]:
+        b = int(feats[i, 0])
+        pix = int(feats[i, 1])
+        assert labels[b, pix] == labs[i]
+
+    # Per-slot hard/easy proportions follow the reference's keep rules.
+    sel = {}
+    for i in np.nonzero(valid)[0]:
+        b, pix, c = int(feats[i, 0]), int(feats[i, 1]), int(labs[i])
+        sel.setdefault((b, c), []).append(pix)
+    for (b, c), pixels in sel.items():
+        assert len(pixels) == n_view
+        assert len(set(pixels)) == n_view  # without replacement
+        hard_sel = sum(predict[b, p] != c for p in pixels)
+        num_hard = int(((labels[b] == c) & (predict[b] != c)).sum())
+        num_easy = int(((labels[b] == c) & (predict[b] == c)).sum())
+        if 2 * num_hard >= n_view and 2 * num_easy >= n_view:
+            expect = n_view // 2
+        elif 2 * num_hard >= n_view:
+            expect = n_view - num_easy
+        else:
+            expect = num_hard
+        assert hard_sel == expect, ((b, c), hard_sel, expect)
+
+
+def test_end_to_end_loss_and_grad():
+    rng = np.random.default_rng(5)
+    B, H, W, D, C = 2, 16, 16, 8, 4
+    embed = _norm(rng.standard_normal((B, H, W, D)).astype(np.float32))
+    labels = rng.integers(0, C, size=(B, H * 2, W * 2)).astype(np.int32)
+    predict = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+    spec = ContrastSpec(num_classes=C, max_samples=64, max_views=8)
+
+    def f(e):
+        return pixel_contrast_loss(
+            jax.random.key(1), e, jnp.asarray(labels), jnp.asarray(predict), spec
+        )
+
+    loss, grad = jax.value_and_grad(f)(jnp.asarray(embed))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert np.isfinite(np.asarray(grad)).all()
+    assert np.abs(np.asarray(grad)).sum() > 0

@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Benchmark: HRNet-W48+contrast(+memory) train-step throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no images/sec (BASELINE.md) — vs_baseline reports
+against the first recorded run of this bench (bench_baseline.json),
+so the driver can track relative progress across rounds.
+
+Usage: python bench.py [--dry] [--batch N] [--steps N] [--image-size HxW]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+
+
+def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from contrastiveseg_tpu.engine.optim import build_optimizer
+    from contrastiveseg_tpu.engine.state import TrainState
+    from contrastiveseg_tpu.engine.train_step import make_train_step
+    from contrastiveseg_tpu.losses.manager import build_loss
+    from contrastiveseg_tpu.models.nets import build_model
+    from contrastiveseg_tpu.ops.queue import init_memory_bank
+    from contrastiveseg_tpu.presets import get_preset
+
+    preset = (
+        "cityscapes_hrnet_w48_mem" if memory else "cityscapes_hrnet_w48_contrast"
+    )
+    cfg = get_preset(preset)
+    cfg = cfg.updated("network.bf16", bf16)
+    cfg = cfg.updated("contrast.warmup_iters", 0)  # bench the full loss
+
+    model = build_model(cfg)
+    h, w = hw
+    rng = jax.random.key(0)
+    k_params, k_drop, k_bank, k_state = jax.random.split(rng, 4)
+    variables = model.init(
+        {"params": k_params, "dropout": k_drop},
+        jnp.zeros((1, h, w, 3), jnp.float32),
+        train=True,
+    )
+    tx = build_optimizer(cfg, variables["params"])
+    bank = None
+    if memory:
+        bank = init_memory_bank(
+            k_bank, cfg.get("data.num_classes"),
+            cfg.get("contrast.memory_size"), cfg.get("contrast.proj_dim"),
+        )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        bank=bank,
+        rng=k_state,
+        tx=tx,
+    )
+    step_fn = make_train_step(
+        model,
+        build_loss(cfg),
+        warmup_iters=0,
+        network_stride=cfg.get("network.stride"),
+        pixel_update_freq=cfg.get("contrast.pixel_update_freq"),
+    )
+
+    rng_np = np.random.default_rng(0)
+    batch_data = {
+        "image": jnp.asarray(
+            rng_np.standard_normal((batch, h, w, 3)).astype(np.float32)
+        ),
+        "label": jnp.asarray(
+            rng_np.integers(0, 19, size=(batch, h, w)).astype(np.int32)
+        ),
+    }
+    return state, step_fn, batch_data
+
+
+def run(batch: int, hw: tuple[int, int], steps: int, bf16: bool, memory: bool):
+    import jax
+
+    state, step_fn, batch_data = build_bench(batch, hw, bf16, memory)
+    # Warmup / compile.
+    state, metrics = step_fn(state, batch_data)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch_data)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+    n_chips = jax.device_count()
+    return batch * steps / dt / n_chips, float(metrics["loss"])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dry", action="store_true", help="tiny CPU shapes")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--image-size", default=None, help="HxW, e.g. 512x1024")
+    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--no-memory", action="store_true")
+    ap.add_argument("--record-baseline", action="store_true")
+    args = ap.parse_args()
+
+    if args.dry:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        hw = (64, 128)
+        batch = args.batch or 1
+        steps = min(args.steps, 3)
+    else:
+        hw = (512, 1024)
+        batch = args.batch or 8
+        steps = args.steps
+    if args.image_size:
+        h, w = args.image_size.split("x")
+        hw = (int(h), int(w))
+
+    memory = not args.no_memory
+    bf16 = not args.fp32
+
+    # Back off on OOM so the bench always reports something.
+    last_err = None
+    for b in [batch, max(batch // 2, 1), max(batch // 4, 1), 1]:
+        try:
+            ips, loss = run(b, hw, steps, bf16, memory)
+            batch = b
+            break
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e):
+                raise
+    else:
+        raise last_err
+
+    vs_baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f).get("images_per_sec_per_chip")
+        if base:
+            vs_baseline = ips / base
+    if args.record_baseline:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"images_per_sec_per_chip": ips,
+                       "batch": batch, "hw": list(hw)}, f)
+
+    print(json.dumps({
+        "metric": (
+            "cityscapes_512x1024_train_images_per_sec_per_chip_"
+            "hrnet_w48_contrast_mem"
+        ),
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": vs_baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

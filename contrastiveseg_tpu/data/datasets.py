@@ -1,0 +1,167 @@
+"""Datasets: directory-layout loader (reference DefaultLoader), dataset
+presets, and a synthetic fixture for CI/benches.
+
+Reference: lib/datasets/loader/default_loader.py — lists
+``{root}/{split}/image`` + ``{root}/{split}/label``, optional ``label_list``
+remap to train ids (default_loader.py:94-106) and ``reduce_zero_label``
+(−1 shift, :83-92).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+# Cityscapes raw-id -> train-id list (configs/cityscapes/*.json "label_list").
+CITYSCAPES_LABEL_LIST = [
+    7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 31, 32, 33,
+]
+
+
+def encode_label_map(label: np.ndarray, label_list: Sequence[int]) -> np.ndarray:
+    """Raw ids -> train ids; everything else -> 255 (then ReLabel 255->-1).
+    Reference `_encode_label` (default_loader.py:94-106)."""
+    out = np.full_like(label, 255, dtype=np.int64)
+    for train_id, raw_id in enumerate(label_list):
+        out[label == raw_id] = train_id
+    return out
+
+
+class DirectorySegDataset:
+    """`{root}/{split}/image/*` + `{root}/{split}/label/*` pairs."""
+
+    def __init__(
+        self,
+        root: str,
+        split: str = "train",
+        label_list: Optional[Sequence[int]] = None,
+        reduce_zero_label: bool = False,
+        ignore_relabel: tuple[int, int] = (255, -1),
+        use_file_list: Optional[str] = None,
+    ):
+        self.root = root
+        self.split = split
+        self.label_list = label_list
+        self.reduce_zero_label = reduce_zero_label
+        self.ignore_from, self.ignore_to = ignore_relabel
+        img_dir = os.path.join(root, split, "image")
+        lab_dir = os.path.join(root, split, "label")
+        if use_file_list:
+            with open(use_file_list) as f:
+                names = [ln.strip() for ln in f if ln.strip()]
+            self.items = [
+                (os.path.join(img_dir, n), self._label_path(lab_dir, n))
+                for n in names
+            ]
+        else:
+            names = sorted(
+                n for n in os.listdir(img_dir)
+                if n.lower().endswith(IMG_EXTS)
+            )
+            self.items = [
+                (os.path.join(img_dir, n), self._label_path(lab_dir, n))
+                for n in names
+            ]
+
+    @staticmethod
+    def _label_path(lab_dir: str, img_name: str) -> Optional[str]:
+        stem = os.path.splitext(img_name)[0]
+        for ext in IMG_EXTS:
+            p = os.path.join(lab_dir, stem + ext)
+            if os.path.exists(p):
+                return p
+        return None
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> dict:
+        img_path, lab_path = self.items[idx]
+        image = np.asarray(Image.open(img_path).convert("RGB"))
+        sample = {
+            "image": image,
+            "meta": {
+                "img_path": img_path,
+                "ori_size": [image.shape[1], image.shape[0]],  # (w, h)
+                "name": os.path.splitext(os.path.basename(img_path))[0],
+            },
+        }
+        if lab_path is not None:
+            label = np.asarray(Image.open(lab_path)).astype(np.int64)
+            if label.ndim == 3:
+                label = label[..., 0]
+            sample["meta"]["ori_target"] = label.copy()
+            if self.label_list is not None:
+                label = encode_label_map(label, self.label_list)
+            if self.reduce_zero_label:
+                label = label.astype(np.int64) - 1
+                label[label == -1] = 255  # 0 was background
+            label = np.where(label == self.ignore_from, self.ignore_to, label)
+            sample["label"] = label.astype(np.int32)
+        return sample
+
+
+class SyntheticSegDataset:
+    """Procedural scenes: smooth class regions + matching image statistics.
+
+    Serves as the CPU-runnable fixture (SURVEY.md §4d) and as the bench
+    input when no real Cityscapes is mounted.
+    """
+
+    def __init__(self, num_classes: int = 19, size_hw=(512, 1024),
+                 length: int = 64, seed: int = 0):
+        self.num_classes = num_classes
+        self.size_hw = tuple(size_hw)
+        self.length = length
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, idx: int) -> dict:
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        h, w = self.size_hw
+        # Voronoi-ish label regions from random seeds.
+        k = min(self.num_classes * 2, 40)
+        cy = rng.uniform(0, h, size=k)
+        cx = rng.uniform(0, w, size=k)
+        cc = rng.integers(0, self.num_classes, size=k)
+        yy, xx = np.mgrid[0:h, 0:w]
+        d = (yy[None] - cy[:, None, None]) ** 2 + (xx[None] - cx[:, None, None]) ** 2
+        label = cc[np.argmin(d, axis=0)].astype(np.int32)
+        # Image: per-class base color + noise.
+        palette = rng.uniform(0, 255, size=(self.num_classes, 3))
+        image = palette[label] + rng.normal(0, 20, size=(h, w, 3))
+        image = np.clip(image, 0, 255).astype(np.uint8)
+        return {
+            "image": image,
+            "label": label,
+            "meta": {
+                "img_path": f"synthetic://{idx}",
+                "name": f"synthetic_{idx:05d}",
+                "ori_size": [w, h],
+            },
+        }
+
+
+def build_dataset(cfg, split: str = "train"):
+    """DataLoader facade dataset selection (lib/datasets/data_loader.py:97-133)."""
+    if cfg.get("data.synthetic", default=False):
+        h, w = cfg.get("data.synthetic_size", default=[512, 1024])
+        return SyntheticSegDataset(
+            num_classes=cfg.get("data.num_classes"),
+            size_hw=(h, w),
+            length=cfg.get("data.synthetic_length", default=64),
+        )
+    return DirectorySegDataset(
+        root=cfg.get("data.data_dir"),
+        split=split,
+        label_list=cfg.get("data.label_list", default=None),
+        reduce_zero_label=cfg.get("data.reduce_zero_label", default=False),
+        use_file_list=cfg.get("data.use_file_list", default=None),
+    )

@@ -1,0 +1,149 @@
+"""Host-side input pipeline: sample -> augment -> normalize -> collate ->
+(sharded) device arrays, with background prefetch.
+
+Replaces the reference's torch DataLoader + DistributedSampler
+(lib/datasets/data_loader.py:81-146).  Multi-host sharding follows the JAX
+recipe: every host reads its own `process_index`-strided subset and the
+global batch is assembled with ``jax.make_array_from_process_local_data``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from contrastiveseg_tpu.data.collate import collate
+from contrastiveseg_tpu.data.transforms import Compose, Normalizer, build_train_transforms
+
+
+class DataPipeline:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        transforms: Optional[Compose] = None,
+        normalizer: Optional[Normalizer] = None,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        collate_kwargs: Optional[dict] = None,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.transforms = transforms
+        self.normalizer = normalizer or Normalizer()
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.collate_kwargs = collate_kwargs or {
+            "size_mode": "fix_size",
+            "input_size": (1024, 512),
+            "align_method": "only_pad",
+            "pad_mode": "random",
+        }
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            # Same permutation on every host; each host takes its stride.
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
+        return idx[self.shard_index :: self.num_shards]
+
+    def _make_batch(self, indices, rng: np.random.Generator) -> dict:
+        samples = []
+        for i in indices:
+            s = self.dataset[int(i)]
+            if self.transforms is not None:
+                s = self.transforms(s, rng)
+            s = dict(s)
+            s["image"] = self.normalizer(s["image"])
+            samples.append(s)
+        batch = collate(samples, rng=rng, **self.collate_kwargs)
+        if "label" in batch:
+            batch["label"] = batch["label"].astype(np.int32)
+        batch["image"] = batch["image"].astype(np.float32)
+        return batch
+
+    def epoch_iter(self, epoch: int) -> Iterator[dict]:
+        indices = self._epoch_indices(epoch)
+        nb = len(indices) // self.batch_size if self.drop_last else -(
+            -len(indices) // self.batch_size
+        )
+        rng = np.random.default_rng(
+            (self.seed + epoch) * 1000003 + self.shard_index
+        )
+
+        def producer(q: queue.Queue):
+            for b in range(nb):
+                chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
+                q.put(self._make_batch(chunk, rng))
+            q.put(None)
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=producer, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+    def __iter__(self) -> Iterator[dict]:
+        """Infinite iterator over epochs (the reference trains by iters)."""
+        epoch = self.epoch
+        while True:
+            yield from self.epoch_iter(epoch)
+            epoch += 1
+            self.epoch = epoch
+
+
+def build_pipeline(cfg, split: str = "train", dataset=None) -> DataPipeline:
+    from contrastiveseg_tpu.data.datasets import build_dataset
+
+    dataset = dataset or build_dataset(cfg, split)
+    section = "train" if split == "train" else split
+    trans_section = "train_trans" if split == "train" else "val_trans"
+    td = cfg.get(f"{section}.data_transformer", default={})
+    collate_kwargs = {
+        "size_mode": td.get("size_mode", "fix_size"),
+        "input_size": tuple(td.get("input_size", (1024, 512))),
+        "align_method": td.get("align_method", "only_pad"),
+        "pad_mode": td.get("pad_mode", "random"),
+    }
+    if "ms_input_size" in td:
+        collate_kwargs["ms_input_size"] = td["ms_input_size"]
+    if "fit_stride" in td:
+        collate_kwargs["fit_stride"] = td["fit_stride"]
+    norm = cfg.get("normalize", default={})
+    return DataPipeline(
+        dataset,
+        batch_size=cfg.get(f"{section}.batch_size", default=8),
+        transforms=build_train_transforms(cfg, trans_section),
+        normalizer=Normalizer(
+            div_value=norm.get("div_value", 255.0),
+            mean=norm.get("mean_value", (0.485, 0.456, 0.406)),
+            std=norm.get("std", (0.229, 0.224, 0.225)),
+        ),
+        shuffle=split == "train",
+        drop_last=split == "train",
+        collate_kwargs=collate_kwargs,
+        num_shards=jax.process_count(),
+        shard_index=jax.process_index(),
+    )

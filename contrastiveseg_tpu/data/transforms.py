@@ -1,0 +1,353 @@
+"""Host-side augmentation transforms (numpy + PIL).
+
+Re-implements the reference cv2 aug pipeline
+(/root/reference/lib/datasets/tools/cv2_aug_transforms.py) with the same
+sampling distributions, but:
+
+  * explicit ``np.random.Generator`` instead of global ``random`` state
+    (reproducible per-sample seeds across workers/hosts);
+  * PIL bicubic for image resize (cv2 INTER_CUBIC equivalent; kernels
+    differ in the tails by <1 LSB of uint8) and exact floor-indexed
+    nearest for label maps;
+  * RGB channel order + ImageNet normalization (the reference feeds BGR
+    yet normalizes with RGB-ordered means — a quirk that only matters for
+    its own pretrained weights).
+
+Samples are dicts: ``image`` float32/uint8 HWC, ``label`` int HW, optional
+``maskmap``/``offsetmap``/... following the reference's multi-map dispatch.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import numpy as np
+from PIL import Image
+
+IMAGE_KEYS = ("image",)
+NEAREST_KEYS = ("label", "maskmap", "distance_map", "angle_map", "boundary_map")
+
+
+def _pil_resize_img(img: np.ndarray, size_wh: tuple[int, int]) -> np.ndarray:
+    """Bicubic uint8 image resize (reference uses cv2 INTER_CUBIC)."""
+    return np.asarray(
+        Image.fromarray(img.astype(np.uint8)).resize(size_wh, Image.BICUBIC)
+    )
+
+
+def _nearest_resize(x: np.ndarray, size_wh: tuple[int, int]) -> np.ndarray:
+    w, h = size_wh
+    src_h, src_w = x.shape[:2]
+    rows = np.clip(np.floor(np.arange(h) * src_h / h).astype(np.int64), 0, src_h - 1)
+    cols = np.clip(np.floor(np.arange(w) * src_w / w).astype(np.int64), 0, src_w - 1)
+    return x[rows][:, cols]
+
+
+class RandomResize:
+    """Uniform scale in scale_range x sqrt-aspect jitter
+    (cv2_aug_transforms.py:327-442)."""
+
+    def __init__(self, scale_range=(0.75, 1.25), aspect_range=(0.9, 1.1),
+                 ratio=1.0, scale_list=None, max_side_bound=None):
+        self.scale_range = scale_range
+        self.aspect_range = aspect_range
+        self.ratio = ratio
+        self.scale_list = scale_list
+        self.max_side_bound = max_side_bound
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        if rng.random() > self.ratio:
+            return sample
+        h, w = sample["image"].shape[:2]
+        if self.scale_list is not None:
+            scale = self.scale_list[rng.integers(0, len(self.scale_list))]
+        else:
+            scale = rng.uniform(*self.scale_range)
+        aspect = rng.uniform(*self.aspect_range)
+        w_ratio = math.sqrt(aspect) * scale
+        h_ratio = math.sqrt(1.0 / aspect) * scale
+        if self.max_side_bound is not None and max(
+            h * h_ratio, w * w_ratio
+        ) > self.max_side_bound:
+            d = self.max_side_bound / max(h * h_ratio, w * w_ratio)
+            w_ratio *= d
+            h_ratio *= d
+        size = (int(w * w_ratio), int(h * h_ratio))
+        out = dict(sample)
+        out["image"] = _pil_resize_img(sample["image"], size)
+        for k in NEAREST_KEYS:
+            if k in sample:
+                out[k] = _nearest_resize(sample[k], size)
+        return out
+
+
+class RandomCrop:
+    """Random/center/grid crop (cv2_aug_transforms.py:504-602).  Like the
+    reference, crops to min(crop, img) per axis — padding happens in
+    collate."""
+
+    def __init__(self, crop_size=(1024, 512), ratio=1.0, method="random",
+                 grid=None, allow_outside_center=False):
+        self.size = tuple(crop_size)  # (w, h)
+        self.ratio = ratio
+        self.method = method
+        self.grid = grid
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        if rng.random() > self.ratio:
+            return sample
+        h, w = sample["image"].shape[:2]
+        tw, th = min(self.size[0], w), min(self.size[1], h)
+        if self.method == "center":
+            x0, y0 = (w - tw) // 2, (h - th) // 2
+        elif self.method == "grid":
+            gx = rng.integers(0, self.grid[0])
+            gy = rng.integers(0, self.grid[1])
+            x0 = gx * ((w - tw) // max(self.grid[0] - 1, 1))
+            y0 = gy * ((h - th) // max(self.grid[1] - 1, 1))
+        else:
+            x0 = int(rng.integers(0, w - tw + 1))
+            y0 = int(rng.integers(0, h - th + 1))
+        out = dict(sample)
+        for k in ("image", *NEAREST_KEYS):
+            if k in sample:
+                out[k] = sample[k][y0:y0 + th, x0:x0 + tw]
+        return out
+
+
+class RandomHFlip:
+    """Horizontal flip + optional label-id swap pairs
+    (cv2_aug_transforms.py:143-201)."""
+
+    def __init__(self, ratio=0.5, swap_pair: Sequence[Sequence[int]] = ()):
+        self.ratio = ratio
+        self.swap_pair = swap_pair
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        if rng.random() > self.ratio:
+            return sample
+        out = dict(sample)
+        for k in ("image", *NEAREST_KEYS):
+            if k in sample:
+                out[k] = sample[k][:, ::-1].copy()
+        if self.swap_pair and "label" in out:
+            lab = out["label"].copy()
+            for a, b in self.swap_pair:
+                lab[out["label"] == a] = b
+                lab[out["label"] == b] = a
+            out["label"] = lab
+        return out
+
+
+class RandomBrightness:
+    """Integer shift in [-shift, shift] (cv2_aug_transforms.py:305-325)."""
+
+    def __init__(self, shift_value=30, ratio=0.5):
+        self.shift_value = shift_value
+        self.ratio = ratio
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        if rng.random() > self.ratio:
+            return sample
+        shift = int(rng.integers(-self.shift_value, self.shift_value + 1))
+        img = sample["image"].astype(np.float32) + shift
+        out = dict(sample)
+        out["image"] = np.clip(np.around(img), 0, 255).astype(np.uint8)
+        return out
+
+
+class RandomContrast:
+    def __init__(self, lower=0.5, upper=1.5, ratio=0.5):
+        self.lower, self.upper, self.ratio = lower, upper, ratio
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        if rng.random() > self.ratio:
+            return sample
+        f = rng.uniform(self.lower, self.upper)
+        out = dict(sample)
+        out["image"] = np.clip(
+            sample["image"].astype(np.float32) * f, 0, 255
+        ).astype(np.uint8)
+        return out
+
+
+class RandomSaturation:
+    """Scale HSV saturation (cv2_aug_transforms.py:227-250)."""
+
+    def __init__(self, lower=0.5, upper=1.5, ratio=0.5):
+        self.lower, self.upper, self.ratio = lower, upper, ratio
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        if rng.random() > self.ratio:
+            return sample
+        f = rng.uniform(self.lower, self.upper)
+        img = sample["image"].astype(np.float32) / 255.0
+        mx = img.max(axis=-1, keepdims=True)
+        out_img = np.clip(mx - (mx - img) * f, 0, 1)
+        out = dict(sample)
+        out["image"] = np.clip(np.around(out_img * 255), 0, 255).astype(np.uint8)
+        return out
+
+
+class RandomPerm:
+    """Random channel permutation (cv2_aug_transforms.py RandomPerm)."""
+
+    def __init__(self, ratio=0.5):
+        self.ratio = ratio
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        if rng.random() > self.ratio:
+            return sample
+        out = dict(sample)
+        out["image"] = sample["image"][..., rng.permutation(3)]
+        return out
+
+
+class RandomRotate:
+    """Rotate by uniform angle; label filled with border value
+    (cv2_aug_transforms.py RandomRotate)."""
+
+    def __init__(self, max_degree=10, ratio=0.5, mean=(104, 117, 123),
+                 label_fill=255):
+        self.max_degree = max_degree
+        self.ratio = ratio
+        self.mean = tuple(int(m) for m in mean)
+        self.label_fill = label_fill
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        if rng.random() > self.ratio:
+            return sample
+        deg = float(rng.uniform(-self.max_degree, self.max_degree))
+        out = dict(sample)
+        img = Image.fromarray(sample["image"].astype(np.uint8))
+        out["image"] = np.asarray(
+            img.rotate(deg, resample=Image.BICUBIC, fillcolor=self.mean)
+        )
+        if "label" in sample:
+            lab = Image.fromarray(sample["label"].astype(np.int32), mode="I")
+            out["label"] = np.asarray(
+                lab.rotate(deg, resample=Image.NEAREST,
+                           fillcolor=self.label_fill)
+            ).astype(sample["label"].dtype)
+        return out
+
+
+class Resize:
+    """Deterministic resize to target (w, h) (cv2_aug_transforms.py:605-651)."""
+
+    def __init__(self, target_size=None, min_side_length=None,
+                 max_side_length=None, max_side_bound=None):
+        self.target_size = target_size
+        self.min_side_length = min_side_length
+        self.max_side_length = max_side_length
+        self.max_side_bound = max_side_bound
+
+    def __call__(self, sample: dict, rng: np.random.Generator = None) -> dict:
+        h, w = sample["image"].shape[:2]
+        if self.target_size is not None:
+            tw, th = self.target_size
+            w_ratio, h_ratio = tw / w, th / h
+        elif self.min_side_length is not None:
+            s = self.min_side_length / min(w, h)
+            w_ratio = h_ratio = s
+        elif self.max_side_length is not None:
+            s = self.max_side_length / max(w, h)
+            w_ratio = h_ratio = s
+        else:
+            return sample
+        if self.max_side_bound is not None and max(
+            h * h_ratio, w * w_ratio
+        ) > self.max_side_bound:
+            d = self.max_side_bound / max(h * h_ratio, w * w_ratio)
+            w_ratio *= d
+            h_ratio *= d
+        size = (int(w * w_ratio), int(h * h_ratio))
+        out = dict(sample)
+        out["image"] = _pil_resize_img(sample["image"], size)
+        for k in NEAREST_KEYS:
+            if k in sample:
+                out[k] = _nearest_resize(sample[k], size)
+        return out
+
+
+class Compose:
+    def __init__(self, transforms: Sequence[Callable]):
+        self.transforms = list(transforms)
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        for t in self.transforms:
+            sample = t(sample, rng)
+        return sample
+
+
+class Normalizer:
+    """ToTensor + Normalize (lib/datasets/tools/transforms.py:15-110):
+    div 255, subtract ImageNet mean, divide std.  Stays NHWC uint8->f32."""
+
+    def __init__(self, div_value=255.0, mean=(0.485, 0.456, 0.406),
+                 std=(0.229, 0.224, 0.225)):
+        self.div_value = div_value
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        x = img.astype(np.float32) / self.div_value
+        return (x - self.mean) / self.std
+
+    def denormalize(self, x: np.ndarray) -> np.ndarray:
+        return np.clip((x * self.std + self.mean) * self.div_value, 0, 255)
+
+
+_TRANSFORM_BUILDERS = {
+    "random_resize": lambda p: RandomResize(
+        scale_range=p.get("scale_range", (0.75, 1.25)),
+        aspect_range=p.get("aspect_range", (0.9, 1.1)),
+        ratio=p.get("ratio", 1.0),
+        scale_list=p.get("scale_list"),
+        max_side_bound=p.get("max_side_bound"),
+    ),
+    "random_crop": lambda p: RandomCrop(
+        crop_size=p.get("crop_size", (1024, 512)),
+        ratio=p.get("ratio", 1.0),
+        method=p.get("method", "random"),
+        grid=p.get("grid"),
+    ),
+    "random_hflip": lambda p: RandomHFlip(
+        ratio=p.get("ratio", 0.5), swap_pair=p.get("swap_pair", ())
+    ),
+    "random_brightness": lambda p: RandomBrightness(
+        shift_value=p.get("shift_value", 30), ratio=p.get("ratio", 0.5)
+    ),
+    "random_contrast": lambda p: RandomContrast(
+        lower=p.get("lower", 0.5), upper=p.get("upper", 1.5),
+        ratio=p.get("ratio", 0.5),
+    ),
+    "random_saturation": lambda p: RandomSaturation(
+        lower=p.get("lower", 0.5), upper=p.get("upper", 1.5),
+        ratio=p.get("ratio", 0.5),
+    ),
+    "random_perm": lambda p: RandomPerm(ratio=p.get("ratio", 0.5)),
+    "random_rotate": lambda p: RandomRotate(
+        max_degree=p.get("rotate_degree", 10), ratio=p.get("ratio", 0.5)
+    ),
+    "resize": lambda p: Resize(
+        target_size=p.get("target_size"),
+        min_side_length=p.get("min_side_length"),
+        max_side_length=p.get("max_side_length"),
+        max_side_bound=p.get("max_side_bound"),
+    ),
+}
+
+
+def build_train_transforms(cfg, section: str = "train_trans") -> Compose:
+    """CV2AugCompose equivalent: builds from `trans_seq` config
+    (cv2_aug_transforms.py:654-903)."""
+    seq = cfg.get(f"{section}.trans_seq", default=[])
+    ts = []
+    for name in seq:
+        params = cfg.get(f"{section}.{name}", default={})
+        if name not in _TRANSFORM_BUILDERS:
+            raise KeyError(f"unknown transform {name!r}")
+        ts.append(_TRANSFORM_BUILDERS[name](params))
+    return Compose(ts)

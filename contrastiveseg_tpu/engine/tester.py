@@ -1,0 +1,185 @@
+"""Offline inference / submission writer.
+
+Re-implements the reference Tester (/root/reference/segmentor/tester.py:93-575):
+modes ``ss_test`` (single scale), ``ms_test`` (multi-scale + horizontal
+flip), ``sscrop_test`` / ``mscrop_test`` (sliding-window crops), writing
+label PNGs, palette-colorized visualizations, and optional prob ``.npy``.
+
+TPU design: one jitted forward per (scale-rounded) input shape; scale
+resizing and logit fusion run on device with align-corners bilinear ops;
+the sliding-window grid is static per image size (stride = crop size with a
+final remainder window, tester.py:525-533), so each crop reuses the same
+compiled program.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from contrastiveseg_tpu.ops.resize import resize_bilinear_align_corners
+from contrastiveseg_tpu.utils.logging import get_logger
+from contrastiveseg_tpu.utils.palette import colorize, get_palette
+
+
+def _decide_intersection(total: int, crop: int) -> list[int]:
+    stride = crop
+    starts = [stride * i for i in range((total - crop) // stride + 1)] or [0]
+    if total - starts[-1] > crop:
+        starts.append(total - crop)
+    return starts
+
+
+class Tester:
+    def __init__(self, cfg, model, state):
+        self.cfg = cfg
+        self.model = model
+        self.state = state
+        self.log = get_logger()
+        self.num_classes = cfg.get("data.num_classes")
+        self._fwd = jax.jit(self._forward)
+
+    def _forward(self, images: jnp.ndarray) -> jnp.ndarray:
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        out = self.model.apply(variables, images, train=False)
+        seg = out["seg"] if isinstance(out, dict) else out
+        return seg
+
+    # -- inference modes (logits at input resolution) ---------------------
+    def ss_test(self, images: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
+        """tester.py:310-327: scale -> forward -> upsample back."""
+        n, h, w, _ = images.shape
+        if scale != 1.0:
+            images = resize_bilinear_align_corners(
+                images, (int(h * scale), int(w * scale))
+            )
+        seg = self._fwd(images)
+        return resize_bilinear_align_corners(seg, (h, w))
+
+    def ms_test(self, images: jnp.ndarray) -> jnp.ndarray:
+        """tester.py:380-398: sum over scales of logits + flipped logits."""
+        scales = self.cfg.get("test.scale_search", default=[0.75, 1.0, 1.25])
+        weights = self.cfg.get("test.scale_weights", default=None)
+        total = jnp.zeros(
+            (*images.shape[:3], self.num_classes), jnp.float32
+        )
+        flipped = images[:, :, ::-1, :]
+        for i, s in enumerate(scales):
+            probs = self.ss_test(images, s)
+            flip_probs = self.ss_test(flipped, s)[:, :, ::-1, :]
+            contrib = probs + flip_probs
+            total = total + (weights[i] * contrib if weights else contrib)
+        return total
+
+    def sscrop_test(self, images: jnp.ndarray, crop_size: tuple[int, int],
+                    scale: float = 1.0) -> jnp.ndarray:
+        """tester.py:351-378: sliding-window accumulate logits / counts.
+        crop_size is (h, w)."""
+        n, ori_h, ori_w, _ = images.shape
+        scaled = (
+            resize_bilinear_align_corners(
+                images, (int(ori_h * scale), int(ori_w * scale))
+            )
+            if scale != 1.0 else images
+        )
+        h, w = scaled.shape[1], scaled.shape[2]
+        ch, cw = min(crop_size[0], h), min(crop_size[1], w)
+        full = jnp.zeros((n, h, w, self.num_classes), jnp.float32)
+        count = jnp.zeros((n, h, w, 1), jnp.float32)
+        for y0 in _decide_intersection(h, ch):
+            for x0 in _decide_intersection(w, cw):
+                crop = scaled[:, y0:y0 + ch, x0:x0 + cw, :]
+                pred = self.ss_test(crop)
+                full = full.at[:, y0:y0 + ch, x0:x0 + cw, :].add(pred)
+                count = count.at[:, y0:y0 + ch, x0:x0 + cw, :].add(1.0)
+        full = full / count
+        return resize_bilinear_align_corners(full, (ori_h, ori_w))
+
+    def mscrop_test(self, images: jnp.ndarray,
+                    crop_size: tuple[int, int]) -> jnp.ndarray:
+        scales = self.cfg.get("test.scale_search", default=[0.75, 1.0, 1.25])
+        total = jnp.zeros(
+            (*images.shape[:3], self.num_classes), jnp.float32
+        )
+        flipped = images[:, :, ::-1, :]
+        for s in scales:
+            total = total + self.sscrop_test(images, crop_size, s)
+            total = total + self.sscrop_test(flipped, crop_size, s)[:, :, ::-1, :]
+        return total
+
+    def infer(self, images: jnp.ndarray) -> jnp.ndarray:
+        mode = self.cfg.get("test.mode", default="ss_test")
+        if mode == "ss_test":
+            return self.ss_test(images)
+        if mode == "ms_test":
+            return self.ms_test(images)
+        if mode in ("sscrop_test", "mscrop_test"):
+            cw, ch = self.cfg.get("test.crop_size", default=[1024, 512])
+            fn = self.sscrop_test if mode == "sscrop_test" else self.mscrop_test
+            return fn(images, (ch, cw))
+        raise NotImplementedError(f"test mode {mode!r}")
+
+    # -- output writing ----------------------------------------------------
+    def _to_raw_ids(self, pred: np.ndarray) -> np.ndarray:
+        """Train ids -> submission ids (tester.py:176-207 inverse relabel)."""
+        if self.cfg.get("data.reduce_zero_label", default=False):
+            pred = pred + 1
+        label_list = self.cfg.get("data.label_list", default=None)
+        if label_list:
+            out = pred.copy()
+            for train_id, raw_id in enumerate(label_list):
+                out[pred == train_id] = raw_id
+            pred = out
+        return pred
+
+    def test(self, batches: Optional[Iterable[dict]] = None,
+             out_dir: Optional[str] = None, save_prob: bool = False) -> int:
+        from contrastiveseg_tpu.data.pipeline import build_pipeline
+
+        out_dir = out_dir or self.cfg.get("test.out_dir", default="./out")
+        label_dir = os.path.join(out_dir, "label")
+        vis_dir = os.path.join(out_dir, "vis")
+        os.makedirs(label_dir, exist_ok=True)
+        os.makedirs(vis_dir, exist_ok=True)
+        palette = get_palette(
+            self.cfg.get("dataset", default=""), self.num_classes
+        )
+        if batches is None:
+            pipe = build_pipeline(self.cfg, "test")
+            batches = pipe.epoch_iter(0)
+
+        n = 0
+        for batch in batches:
+            logits = np.asarray(self.infer(jnp.asarray(batch["image"])))
+            for i, meta in enumerate(batch["meta"]):
+                ow, oh = meta["ori_size"]
+                img_logits = logits[i]
+                if img_logits.shape[:2] != (oh, ow):
+                    img_logits = np.asarray(
+                        resize_bilinear_align_corners(
+                            jnp.asarray(img_logits[None]), (oh, ow)
+                        )
+                    )[0]
+                pred = np.argmax(img_logits, axis=-1).astype(np.int32)
+                name = meta.get("name", f"img_{n:06d}")
+                Image.fromarray(
+                    self._to_raw_ids(pred).astype(np.uint8)
+                ).save(os.path.join(label_dir, f"{name}.png"))
+                Image.fromarray(colorize(pred, palette)).save(
+                    os.path.join(vis_dir, f"{name}.png")
+                )
+                if save_prob:
+                    np.save(
+                        os.path.join(out_dir, f"{name}_prob.npy"),
+                        jax.nn.softmax(jnp.asarray(img_logits), axis=-1),
+                    )
+                n += 1
+        self.log.info(f"wrote {n} predictions to {out_dir}")
+        return n

@@ -1,0 +1,176 @@
+"""Trainer: the full training driver.
+
+Re-implements the reference Trainer
+(/root/reference/segmentor/trainer_contrastive.py:25-439) around one jitted
+train step: build model/loss/optimizer/pipelines, loop to max_iters with
+periodic display, validation, and checkpointing.  The per-iter LR step,
+contrast warmup gate, and memory-bank update all live *inside* the compiled
+step (engine/train_step.py); the host loop only feeds data and logs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from contrastiveseg_tpu.data.pipeline import build_pipeline
+from contrastiveseg_tpu.engine.checkpoint import CheckpointManager
+from contrastiveseg_tpu.engine.evaluator import Evaluator
+from contrastiveseg_tpu.engine.optim import build_optimizer
+from contrastiveseg_tpu.engine.state import create_train_state
+from contrastiveseg_tpu.engine.train_step import make_train_step
+from contrastiveseg_tpu.losses.manager import build_loss
+from contrastiveseg_tpu.models.nets import build_model
+from contrastiveseg_tpu.parallel.mesh import make_mesh, shard_batch, shard_state
+from contrastiveseg_tpu.utils.logging import get_logger
+
+
+class Trainer:
+    def __init__(self, cfg, use_mesh: bool = True):
+        self.cfg = cfg
+        self.log = get_logger(
+            log_file=cfg.get("logging.log_file", default=None),
+            stdout_level=cfg.get("logging.stdout_level", default="info"),
+        )
+        self.model = build_model(cfg)
+        self.loss_fn = build_loss(cfg)
+        self.mesh = make_mesh() if use_mesh else None
+
+        # Train state.
+        td = cfg.get("train.data_transformer", default={})
+        w, h = td.get("input_size", (1024, 512))
+        batch = cfg.get("train.batch_size", default=8)
+        rng = jax.random.key(cfg.get("seed", default=304))
+
+        # Two-phase init so the optimizer can see the param tree (nbb groups).
+        k_params, k_drop, k_bank, k_state = jax.random.split(rng, 4)
+        import jax.numpy as jnp
+
+        variables = self.model.init(
+            {"params": k_params, "dropout": k_drop},
+            jnp.zeros((1, h, w, 3), jnp.float32),
+            train=True,
+        )
+        tx = build_optimizer(cfg, variables["params"])
+        from contrastiveseg_tpu.engine.state import TrainState
+        from contrastiveseg_tpu.ops.queue import init_memory_bank
+
+        bank = None
+        if cfg.get("contrast.with_memory", default=False):
+            bank = init_memory_bank(
+                k_bank,
+                cfg.get("data.num_classes"),
+                cfg.get("contrast.memory_size", default=5000),
+                cfg.get("contrast.proj_dim", default=256),
+            )
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            bank=bank,
+            rng=k_state,
+            tx=tx,
+        )
+        if self.mesh is not None:
+            self.state = shard_state(self.state, self.mesh)
+
+        self.train_step = make_train_step(
+            self.model,
+            self.loss_fn,
+            warmup_iters=cfg.get("contrast.warmup_iters", default=0),
+            network_stride=cfg.get("network.stride", default=4),
+            pixel_update_freq=cfg.get("contrast.pixel_update_freq", default=10),
+            queue_include_class0=cfg.get(
+                "contrast.include_class0", default=True
+            ),
+        )
+        self.evaluator = Evaluator(
+            self.model,
+            cfg.get("data.num_classes"),
+            shard_fn=(
+                (lambda b: shard_batch(b, self.mesh)) if self.mesh else None
+            ),
+        )
+        self.ckpt = CheckpointManager(
+            cfg.get("checkpoints.checkpoints_dir", default="./checkpoints"),
+            cfg.get("checkpoints.checkpoints_name", default="seg"),
+            config_dict=cfg.to_dict(),
+        )
+        resume = cfg.get("network.resume", default=None)
+        if resume:
+            self.state = self.ckpt.restore(self.state, path=resume)
+            self.log.info(f"resumed from {resume} at step {int(self.state.step)}")
+        elif cfg.get("network.resume_continue", default=False) and self.ckpt.has():
+            self.state = self.ckpt.restore(self.state)
+            self.log.info(f"resumed latest at step {int(self.state.step)}")
+
+    # ------------------------------------------------------------------
+    def train(self, max_iters: Optional[int] = None) -> dict:
+        cfg = self.cfg
+        max_iters = max_iters or cfg.get("solver.max_iters", default=40000)
+        display_iter = cfg.get("solver.display_iter", default=10)
+        test_interval = cfg.get("solver.test_interval", default=2000)
+        save_iters = cfg.get("checkpoints.save_iters", default=1000)
+
+        pipeline = build_pipeline(cfg, "train")
+        data_iter = iter(pipeline)
+
+        last_scores: dict = {}
+        t_data = t_step = 0.0
+        t0 = time.time()
+        step0 = int(self.state.step)
+        for it in range(step0, max_iters):
+            td0 = time.time()
+            batch = next(data_iter)
+            b = {"image": batch["image"], "label": batch["label"]}
+            if self.mesh is not None:
+                b = shard_batch(b, self.mesh)
+            t_data += time.time() - td0
+
+            ts0 = time.time()
+            self.state, metrics = self.train_step(self.state, b)
+            if (it + 1) % display_iter == 0:
+                metrics = jax.device_get(metrics)  # sync point
+                t_step += time.time() - ts0
+                imgs = batch["image"].shape[0] * display_iter
+                self.log.info(
+                    f"iter {it + 1}/{max_iters} "
+                    f"loss {float(metrics['loss']):.4f} "
+                    f"seg {float(metrics.get('loss_seg', 0)):.4f} "
+                    f"contrast {float(metrics.get('loss_contrast', 0)):.4f} "
+                    f"({imgs / max(time.time() - t0, 1e-9):.2f} img/s, "
+                    f"data {t_data:.2f}s step {t_step:.2f}s)"
+                )
+                t_data = t_step = 0.0
+                t0 = time.time()
+            else:
+                t_step += time.time() - ts0
+
+            if (it + 1) % save_iters == 0:
+                self.ckpt.save(self.state, "latest")
+            if test_interval and (it + 1) % test_interval == 0:
+                last_scores = self.validate()
+        self.ckpt.save(self.state, "latest")
+        return last_scores
+
+    def validate(self, max_batches: Optional[int] = None) -> dict:
+        val_pipe = build_pipeline(self.cfg, "val")
+        batches = val_pipe.epoch_iter(0)
+        if max_batches is not None:
+            import itertools
+
+            batches = itertools.islice(batches, max_batches)
+        scores = self.evaluator.run(
+            self.state.params, self.state.batch_stats, batches
+        )
+        self.log.info(
+            f"val: mIoU {scores['miou']:.4f} pixel_acc {scores['pixel_acc']:.4f}"
+        )
+        self.ckpt.save_by_mode(
+            self.state, "performance", performance=scores["miou"]
+        )
+        return scores

@@ -66,6 +66,100 @@ class HRNetSeg(nn.Module):
         return out
 
 
+class HRNetOCRSeg(nn.Module):
+    """HRNet-W48 + OCR head (reference HRNET_W48_OCR[_CONTRAST],
+    nets/hrnet.py:98-150,191-250).
+
+    aux head on the 720-ch concat -> SpatialGather over aux probs ->
+    SpatialOCR distribute -> cls head.  Contrast variant projects the
+    720-ch concat features.
+    """
+
+    num_classes: int
+    arch: str = "hrnet48"
+    with_proj: bool = False
+    proj_dim: int = 256
+    mid_channels: int = 512
+    key_channels: int = 256
+    upsample_out: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> dict[str, jnp.ndarray]:
+        from contrastiveseg_tpu.models.ocr import SpatialGather, SpatialOCR
+
+        in_h, in_w = x.shape[1], x.shape[2]
+        feats = HRNet(HRNET_SPECS[self.arch], dtype=self.dtype, name="backbone")(
+            x.astype(self.dtype), train
+        )
+        h, w = feats[0].shape[1], feats[0].shape[2]
+        cat = jnp.concatenate(
+            [feats[0]]
+            + [resize_bilinear_align_corners(f, (h, w)) for f in feats[1:]],
+            axis=-1,
+        )
+        out: dict[str, jnp.ndarray] = {}
+        # Aux head: 3x3 conv + BNReLU + 1x1 (nets/hrnet.py:121-125).
+        aux = ConvBN(cat.shape[-1], 3, use_relu=True, dtype=self.dtype,
+                     name="aux_conv")(cat, train)
+        aux = nn.Conv(self.num_classes, (1, 1), use_bias=True,
+                      dtype=jnp.float32, name="aux_cls")(aux.astype(jnp.float32))
+        if self.with_proj:
+            out["embed"] = ProjectionHead(self.proj_dim, dtype=self.dtype,
+                                          name="proj_head")(cat, train)
+        feats3 = ConvBN(self.mid_channels, 3, use_relu=True, dtype=self.dtype,
+                        name="conv3x3")(cat, train)
+        context = SpatialGather(name="ocr_gather")(feats3, aux)
+        feats3 = SpatialOCR(
+            key_channels=self.key_channels, out_channels=self.mid_channels,
+            dropout=0.05, dtype=self.dtype, name="ocr_distri",
+        )(feats3, context, train)
+        seg = nn.Conv(self.num_classes, (1, 1), use_bias=True,
+                      dtype=jnp.float32, name="cls")(feats3.astype(jnp.float32))
+        if not self.with_proj and self.upsample_out:
+            seg = resize_bilinear_align_corners(seg, (in_h, in_w))
+            aux = resize_bilinear_align_corners(aux, (in_h, in_w))
+        out["seg"] = seg
+        out["seg_aux"] = aux
+        return out
+
+
+class SpatialOCRNet(nn.Module):
+    """Dilated ResNet + OCR (reference nets/ocrnet.py:19-69):
+    aux DSN on layer3; 3x3 conv 2048->512; gather+distribute; cls."""
+
+    num_classes: int
+    arch: str = "resnet101_dilated8"
+    upsample_out: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> dict[str, jnp.ndarray]:
+        from contrastiveseg_tpu.models.ocr import SpatialGather, SpatialOCR
+
+        in_h, in_w = x.shape[1], x.shape[2]
+        feats = ResNet(RESNET_SPECS[self.arch], dtype=self.dtype, name="backbone")(
+            x.astype(self.dtype), train
+        )
+        c3, c4 = feats[-2], feats[-1]
+        aux = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
+                     name="dsn_conv")(c3, train)
+        aux = nn.Dropout(0.05, deterministic=not train, name="dsn_drop")(aux)
+        aux = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                      name="dsn_cls")(aux.astype(jnp.float32))
+        f = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
+                   name="conv3x3")(c4, train)
+        context = SpatialGather(name="ocr_gather")(f, aux)
+        f = SpatialOCR(key_channels=256, out_channels=512, dropout=0.05,
+                       dtype=self.dtype, name="ocr_distri")(f, context, train)
+        seg = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                      name="cls")(f.astype(jnp.float32))
+        if self.upsample_out:
+            seg = resize_bilinear_align_corners(seg, (in_h, in_w))
+            aux = resize_bilinear_align_corners(aux, (in_h, in_w))
+        return {"seg": seg, "seg_aux": aux}
+
+
 class DeepLabV3(nn.Module):
     """DeepLab-V3 on dilated-8 ResNet (reference nets/deeplab.py:8-64).
 
@@ -151,6 +245,38 @@ for _w in (18, 32, 48, 64):
 
 MODELS.register("deeplab_v3")(_deeplab_variant())
 MODELS.register("deeplab_v3_contrast")(_deeplab_variant(with_proj=True))
+
+
+def _hrnet_ocr_variant(arch: str, **defaults):
+    def build(cfg) -> nn.Module:
+        dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
+        return HRNetOCRSeg(
+            num_classes=cfg.get("data.num_classes"),
+            arch=arch,
+            proj_dim=cfg.get("contrast.proj_dim", default=256),
+            dtype=dtype,
+            **defaults,
+        )
+
+    return build
+
+
+for _w in (18, 32, 48, 64):
+    MODELS.register(f"hrnet_w{_w}_ocr")(_hrnet_ocr_variant(f"hrnet{_w}"))
+    MODELS.register(f"hrnet_w{_w}_ocr_contrast")(
+        _hrnet_ocr_variant(f"hrnet{_w}", with_proj=True)
+    )
+
+
+@MODELS.register("spatial_ocrnet")
+def _spatial_ocrnet(cfg) -> nn.Module:
+    dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
+    return SpatialOCRNet(
+        num_classes=cfg.get("data.num_classes"),
+        arch=cfg.get("network.backbone", default="resnet101_dilated8")
+        .replace("deepbase_", ""),
+        dtype=dtype,
+    )
 
 
 def build_model(cfg) -> nn.Module:

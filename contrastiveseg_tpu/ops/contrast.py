@@ -75,7 +75,10 @@ def hard_anchor_sample(
     slot_valid = count > V  # reference: strictly greater (loss_contrast.py:40)
 
     total_classes = jnp.maximum(jnp.sum(slot_valid), 1)
-    n_view = jnp.minimum(M // total_classes, V)  # traced scalar
+    # Traced scalar.  Clamped to >=1: the reference hits n_view=0 (and then
+    # NaNs on empty anchors) when total_classes > max_samples; we keep one
+    # view per slot and let the M-row compaction truncate the excess.
+    n_view = jnp.clip(M // total_classes, 1, V)
 
     pred_is_c = predict[:, None, :] == cls[None, :, None]
     hard_mask = member & ~pred_is_c

@@ -55,8 +55,12 @@ def init_memory_bank(
     k1, k2 = jax.random.split(key)
     seg = _l2norm(jax.random.normal(k1, (num_classes, memory_size, dim)))
     pix = _l2norm(jax.random.normal(k2, (num_classes, memory_size, dim)))
-    zeros = jnp.zeros(num_classes, jnp.int32)
-    return MemoryBank(seg, zeros, pix, zeros)
+    # Distinct buffers: the train step donates the whole state, and XLA
+    # rejects donating one buffer twice.
+    return MemoryBank(
+        seg, jnp.zeros(num_classes, jnp.int32),
+        pix, jnp.zeros(num_classes, jnp.int32),
+    )
 
 
 def enqueue(

@@ -1,0 +1,202 @@
+"""Config presets (programmatic; replaces the reference's JSON config zoo).
+
+Hyperparameters mirror the published configs
+(/root/reference/configs/cityscapes/H_48_D_4.json, H_48_D_4_CONTRAST.json,
+H_48_D_4_MEM.json, R_101_D_8.json and scripts/cityscapes/hrnet/
+run_h_48_d_4_contrast.sh: BATCH_SIZE=8, MAX_ITERS=40000, BASE_LR=0.01).
+Presets are plain dicts; compose with Config.merged / CLI overrides.
+"""
+
+from __future__ import annotations
+
+import copy
+
+from contrastiveseg_tpu.utils.config import Config
+
+CITYSCAPES_CE_WEIGHT = [
+    0.8373, 0.9180, 0.8660, 1.0345, 1.0166, 0.9969, 0.9754, 1.0489, 0.8786,
+    1.0023, 0.9539, 0.9843, 1.1116, 0.9037, 1.0865, 1.0955, 1.0865, 1.1529,
+    1.0507,
+]
+
+_CITYSCAPES_BASE = {
+    "dataset": "cityscapes",
+    "method": "fcn_segmentor",
+    "data": {
+        "num_classes": 19,
+        "label_list": [7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25, 26,
+                       27, 28, 31, 32, 33],
+        "data_dir": "/data/cityscapes",
+        "workers": 1,
+    },
+    "train": {
+        "batch_size": 8,
+        "data_transformer": {
+            "size_mode": "fix_size",
+            "input_size": [1024, 512],
+            "align_method": "only_pad",
+            "pad_mode": "random",
+        },
+    },
+    "val": {
+        "batch_size": 4,
+        "mode": "ss_test",
+        "data_transformer": {
+            "size_mode": "fix_size",
+            "input_size": [2048, 1024],
+            "align_method": "only_pad",
+        },
+    },
+    "test": {
+        "batch_size": 4,
+        "mode": "ss_test",
+        "out_dir": "./out/cityscapes",
+        "data_transformer": {
+            "size_mode": "fix_size",
+            "input_size": [2048, 1024],
+            "align_method": "only_pad",
+        },
+    },
+    "train_trans": {
+        "trans_seq": ["random_resize", "random_crop", "random_hflip",
+                      "random_brightness"],
+        "random_brightness": {"ratio": 1.0, "shift_value": 10},
+        "random_hflip": {"ratio": 0.5, "swap_pair": []},
+        "random_resize": {
+            "ratio": 1.0, "method": "random",
+            "scale_range": [0.5, 2.0], "aspect_range": [0.9, 1.1],
+        },
+        "random_crop": {
+            "ratio": 1.0, "crop_size": [1024, 512], "method": "random",
+            "allow_outside_center": False,
+        },
+    },
+    "val_trans": {"trans_seq": []},
+    "normalize": {
+        "div_value": 255.0,
+        "mean_value": [0.485, 0.456, 0.406],
+        "std": [0.229, 0.224, 0.225],
+    },
+    "checkpoints": {
+        "checkpoints_name": "seg_cityscapes",
+        "checkpoints_dir": "./checkpoints/cityscapes",
+        "save_iters": 1000,
+    },
+    "logging": {"logfile_level": "info", "stdout_level": "info",
+                "log_file": None},
+    "lr": {"base_lr": 0.01, "metric": "iters", "lr_policy": "lambda_poly",
+           "nbb_mult": 1.0},
+    "solver": {"display_iter": 10, "test_interval": 2000, "max_iters": 40000},
+    "optim": {
+        "optim_method": "sgd",
+        "sgd": {"weight_decay": 0.0005, "momentum": 0.9, "nesterov": False},
+    },
+    "loss": {
+        "loss_type": "fs_ce_loss",
+        "params": {
+            "ce_weight": CITYSCAPES_CE_WEIGHT,
+            "ce_reduction": "elementwise_mean",
+            "ce_ignore_index": -1,
+            "ohem_minkeep": 100000,
+            "ohem_thresh": 0.9,
+        },
+    },
+    "seed": 304,
+}
+
+
+def _merge(*dicts) -> dict:
+    cfg = Config({})
+    for d in dicts:
+        cfg = cfg.merged(d)
+    return cfg.to_dict()
+
+
+_CONTRAST_BLOCK = {
+    "contrast": {
+        "proj_dim": 256,
+        "temperature": 0.1,
+        "base_temperature": 0.07,
+        "max_samples": 1024,
+        "max_views": 100,
+        "stride": 8,
+        "warmup_iters": 5000,
+        "loss_weight": 0.1,
+        "use_rmi": False,
+        "use_lovasz": False,
+        "with_memory": False,
+        "memory_size": 5000,
+        "pixel_update_freq": 10,
+        "include_class0": True,
+    }
+}
+
+PRESETS: dict[str, dict] = {}
+
+PRESETS["cityscapes_hrnet_w48"] = _merge(_CITYSCAPES_BASE, {
+    "network": {"model_name": "hrnet_w48", "backbone": "hrnet48",
+                "stride": 4, "bn_type": "sync", "bf16": False},
+})
+
+PRESETS["cityscapes_hrnet_w48_contrast"] = _merge(_CITYSCAPES_BASE, _CONTRAST_BLOCK, {
+    "network": {"model_name": "hrnet_w48_contrast", "backbone": "hrnet48",
+                "stride": 4, "bn_type": "sync", "bf16": False},
+    "loss": {"loss_type": "contrast_ce_loss"},
+    "contrast": {"stride": 4},
+})
+
+# H_48_D_4_MEM.json: tau=0.07, max_views=1, memory on, loss_weight 1.
+PRESETS["cityscapes_hrnet_w48_mem"] = _merge(_CITYSCAPES_BASE, _CONTRAST_BLOCK, {
+    "network": {"model_name": "hrnet_w48_mem", "backbone": "hrnet48",
+                "stride": 4, "bn_type": "sync", "bf16": False},
+    "loss": {"loss_type": "mem_contrast_ce_loss"},
+    "contrast": {"temperature": 0.07, "max_views": 1, "loss_weight": 1.0,
+                 "with_memory": True, "stride": 4},
+})
+
+PRESETS["cityscapes_deeplab_v3"] = _merge(_CITYSCAPES_BASE, {
+    "network": {"model_name": "deeplab_v3",
+                "backbone": "deepbase_resnet101_dilated8",
+                "multi_grid": [1, 1, 1], "stride": 8, "bn_type": "sync",
+                "bf16": False,
+                "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+    "loss": {"loss_type": "fs_auxce_loss"},
+})
+
+PRESETS["cityscapes_deeplab_v3_contrast"] = _merge(_CITYSCAPES_BASE, _CONTRAST_BLOCK, {
+    "network": {"model_name": "deeplab_v3_contrast",
+                "backbone": "deepbase_resnet101_dilated8",
+                "multi_grid": [1, 1, 1], "stride": 8, "bn_type": "sync",
+                "bf16": False,
+                "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+    "loss": {"loss_type": "contrast_auxce_loss"},
+})
+
+# CPU-runnable smoke fixture (BASELINE.json config 1 on synthetic data).
+PRESETS["smoke_hrnet_w18"] = _merge(_CITYSCAPES_BASE, _CONTRAST_BLOCK, {
+    "data": {"num_classes": 5, "synthetic": True,
+             "synthetic_size": [64, 128], "synthetic_length": 8,
+             "label_list": None},
+    "train": {"batch_size": 2,
+              "data_transformer": {"input_size": [128, 64]}},
+    "val": {"batch_size": 2,
+            "data_transformer": {"input_size": [128, 64]}},
+    "train_trans": {
+        "random_crop": {"crop_size": [128, 64]},
+    },
+    "network": {"model_name": "hrnet_w18_mem", "backbone": "hrnet18",
+                "stride": 4, "bf16": False},
+    "loss": {"loss_type": "mem_contrast_ce_loss",
+             "params": {"ce_weight": None, "ce_ignore_index": -1}},
+    "contrast": {"max_samples": 64, "max_views": 8, "warmup_iters": 0,
+                 "with_memory": True, "memory_size": 50, "stride": 4},
+    "solver": {"display_iter": 1, "test_interval": 0, "max_iters": 2},
+    "checkpoints": {"checkpoints_dir": "./checkpoints/smoke",
+                    "save_iters": 1000000},
+})
+
+
+def get_preset(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; known: {sorted(PRESETS)}")
+    return Config(copy.deepcopy(PRESETS[name]))

@@ -92,13 +92,15 @@ def run(batch: int, hw: tuple[int, int], steps: int, bf16: bool, memory: bool):
     import jax
 
     state, step_fn, batch_data = build_bench(batch, hw, bf16, memory)
-    # Warmup / compile.
+    # Warmup / compile.  NOTE: device_get (value fetch), not
+    # block_until_ready — the axon remote-TPU relay acks readiness before
+    # execution completes, which once inflated this bench 30x.
     state, metrics = step_fn(state, batch_data)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     t0 = time.time()
     for _ in range(steps):
         state, metrics = step_fn(state, batch_data)
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     dt = time.time() - t0
     n_chips = jax.device_count()
     return batch * steps / dt / n_chips, float(metrics["loss"])

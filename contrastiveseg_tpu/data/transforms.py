@@ -30,13 +30,27 @@ NEAREST_KEYS = ("label", "maskmap", "distance_map", "angle_map", "boundary_map")
 
 
 def _pil_resize_img(img: np.ndarray, size_wh: tuple[int, int]) -> np.ndarray:
-    """Bicubic uint8 image resize (reference uses cv2 INTER_CUBIC)."""
+    """Bicubic uint8 image resize (reference uses cv2 INTER_CUBIC).
+
+    Prefers the native C kernel (exact cv2 kernel: Keys a=-0.75,
+    half-pixel, clamp) and falls back to PIL bicubic."""
+    from contrastiveseg_tpu.data import native
+
+    out = native.resize_bicubic_u8(img.astype(np.uint8), size_wh)
+    if out is not None:
+        return out
     return np.asarray(
         Image.fromarray(img.astype(np.uint8)).resize(size_wh, Image.BICUBIC)
     )
 
 
 def _nearest_resize(x: np.ndarray, size_wh: tuple[int, int]) -> np.ndarray:
+    if x.ndim == 2 and x.dtype in (np.int32, np.int64):
+        from contrastiveseg_tpu.data import native
+
+        out = native.resize_nearest_i32(x.astype(np.int32), size_wh)
+        if out is not None:
+            return out.astype(x.dtype)
     w, h = size_wh
     src_h, src_w = x.shape[:2]
     rows = np.clip(np.floor(np.arange(h) * src_h / h).astype(np.int64), 0, src_h - 1)

@@ -63,11 +63,29 @@ class ContrastCELoss:
         predict = jnp.argmax(seg, axis=-1).astype(jnp.int32)
         if bank is not None:
             q_f, q_l, q_v = bank_as_contrast_set(bank, self.include_class0)
+            # Large queues ([C*2M, D]) go through the streaming two-pass
+            # loss: the [max_samples, C*2M] logits never materialize.
+            from contrastiveseg_tpu.ops.contrast import hard_anchor_sample
+            from contrastiveseg_tpu.ops.contrast_stream import (
+                streaming_contrastive_loss,
+            )
+            from contrastiveseg_tpu.ops.resize import scale_target_nearest
+
+            B, H, W, D = embed.shape
+            labels_s = scale_target_nearest(targets, (H, W)).reshape(B, H * W)
+            anchors = hard_anchor_sample(
+                key, embed.reshape(B, H * W, D), labels_s,
+                predict.reshape(B, H * W), self.spec,
+            )
+            contrast = streaming_contrastive_loss(
+                anchors.feats, anchors.labels, anchors.valid,
+                jax.lax.stop_gradient(q_f), q_l, q_v,
+                self.spec.temperature, self.spec.base_temperature,
+            )
         else:
-            q_f = q_l = q_v = None
-        contrast = pixel_contrast_loss(
-            key, embed, targets, predict, self.spec, q_f, q_l, q_v
-        )
+            contrast = pixel_contrast_loss(
+                key, embed, targets, predict, self.spec
+            )
         gate = jnp.asarray(with_embed, jnp.float32)
         total = seg_loss + gate * self.loss_weight * contrast
         return total, {

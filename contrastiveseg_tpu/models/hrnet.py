@@ -105,7 +105,7 @@ class HighResolutionModule(nn.Module):
                         self.num_channels[i], 1, 1, use_relu=False,
                         dtype=self.dtype, name=f"fuse{i}_{j}",
                     )(feats[j], train)
-                    y = resize_bilinear_align_corners(y, (h, w))
+                    y = resize_bilinear_align_corners(y, (h, w), fast=True)
                 else:  # finer -> coarser: chain of stride-2 3x3 convs
                     y = feats[j]
                     for k in range(i - j):

@@ -48,7 +48,7 @@ class HRNetSeg(nn.Module):
         h, w = feats[0].shape[1], feats[0].shape[2]
         cat = jnp.concatenate(
             [feats[0]]
-            + [resize_bilinear_align_corners(f, (h, w)) for f in feats[1:]],
+            + [resize_bilinear_align_corners(f, (h, w), fast=True) for f in feats[1:]],
             axis=-1,
         )
         out: dict[str, jnp.ndarray] = {}
@@ -95,7 +95,7 @@ class HRNetOCRSeg(nn.Module):
         h, w = feats[0].shape[1], feats[0].shape[2]
         cat = jnp.concatenate(
             [feats[0]]
-            + [resize_bilinear_align_corners(f, (h, w)) for f in feats[1:]],
+            + [resize_bilinear_align_corners(f, (h, w), fast=True) for f in feats[1:]],
             axis=-1,
         )
         out: dict[str, jnp.ndarray] = {}

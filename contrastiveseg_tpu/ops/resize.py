@@ -63,28 +63,37 @@ def _nearest_matrix(out_size: int, in_size: int) -> np.ndarray:
     return A
 
 
-def _separable_resize(x: jnp.ndarray, a_h: np.ndarray, a_w: np.ndarray) -> jnp.ndarray:
+def _separable_resize(
+    x: jnp.ndarray, a_h: np.ndarray, a_w: np.ndarray, precision
+) -> jnp.ndarray:
     """Apply [H_out,H_in] and [W_out,W_in] matrices to an NHWC tensor."""
-    # Contract H then W.  Precision HIGHEST: interpolation rows have <=2
-    # non-zeros, so exactness costs little and mIoU parity depends on it
-    # (TPU default matmul precision is bf16-truncated).
+    # Contract H then W, accumulating in fp32 either way.
+    # HIGHEST: exact fp32 operands — needed where parity matters (eval /
+    # loss logit upsampling); on TPU it costs ~6 bf16 MXU passes.
+    # DEFAULT: operands truncate to bf16, single MXU pass — used on the
+    # backbone fuse paths, where HRNet has ~30 of these per forward and
+    # exactness is irrelevant to training.
     orig_dtype = x.dtype
+    a_dtype = jnp.bfloat16 if precision == jax.lax.Precision.DEFAULT else jnp.float32
     out = jnp.einsum(
-        "op,bpqc->boqc", jnp.asarray(a_h), x,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        "op,bpqc->boqc", jnp.asarray(a_h, a_dtype), x,
+        preferred_element_type=jnp.float32, precision=precision,
     )
     out = jnp.einsum(
-        "oq,biqc->bioc", jnp.asarray(a_w), out,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        "oq,biqc->bioc", jnp.asarray(a_w, a_dtype), out.astype(a_dtype),
+        preferred_element_type=jnp.float32, precision=precision,
     )
     return out.astype(orig_dtype)
 
 
-def resize_bilinear_align_corners(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+def resize_bilinear_align_corners(
+    x: jnp.ndarray, size: tuple[int, int], fast: bool = False
+) -> jnp.ndarray:
     """Bilinear align_corners=True resize of an NHWC (or NHW) tensor.
 
     Matches ``F.interpolate(x, size, mode='bilinear', align_corners=True)``
-    up to float associativity.
+    up to float associativity (exactly with fast=False; to bf16 operand
+    rounding with fast=True — use on hot backbone paths only).
     """
     squeeze = x.ndim == 3
     if squeeze:
@@ -93,8 +102,10 @@ def resize_bilinear_align_corners(x: jnp.ndarray, size: tuple[int, int]) -> jnp.
     _, h_in, w_in, _ = x.shape
     if (h_in, w_in) == (h_out, w_out):
         return x[..., 0] if squeeze else x
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     out = _separable_resize(
-        x, _align_corners_matrix(h_out, h_in), _align_corners_matrix(w_out, w_in)
+        x, _align_corners_matrix(h_out, h_in),
+        _align_corners_matrix(w_out, w_in), precision,
     )
     return out[..., 0] if squeeze else out
 
@@ -109,7 +120,8 @@ def resize_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     if (h_in, w_in) == (h_out, w_out):
         return x[..., 0] if squeeze else x
     out = _separable_resize(
-        x, _nearest_matrix(h_out, h_in), _nearest_matrix(w_out, w_in)
+        x, _nearest_matrix(h_out, h_in), _nearest_matrix(w_out, w_in),
+        jax.lax.Precision.HIGHEST,
     )
     return out[..., 0] if squeeze else out
 

@@ -115,7 +115,33 @@ def main() -> None:
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--no-memory", action="store_true")
     ap.add_argument("--record-baseline", action="store_true")
+    ap.add_argument("--worker", action="store_true",
+                    help="(internal) run the measurement in-process")
     args = ap.parse_args()
+
+    if not args.worker and not args.dry:
+        # The remote-TPU worker occasionally crashes mid-session
+        # (UNAVAILABLE after an earlier process's big allocations); a fresh
+        # client process reliably reconnects.  Run the measurement in a
+        # child and retry, so the driver always gets a JSON line.
+        import subprocess
+
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker"] + [
+            a for a in sys.argv[1:]
+        ]
+        last = ""
+        for attempt in range(3):
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=3600)
+            for line in reversed(proc.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    print(line)
+                    return
+            last = (proc.stderr or "")[-2000:]
+            print(f"# bench attempt {attempt + 1} failed, retrying",
+                  file=sys.stderr)
+        print(f"# bench failed after retries: {last}", file=sys.stderr)
+        sys.exit(1)
 
     if args.dry:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")

@@ -28,14 +28,22 @@ def _per_pixel_ce(
     logits: jnp.ndarray, labels: jnp.ndarray, class_weight: Optional[jnp.ndarray],
     ignore_index: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (weighted_ce [B,H,W], weight [B,H,W], valid [B,H,W])."""
+    """Returns (weighted_ce [B,H,W], weight [B,H,W], valid [B,H,W]).
+
+    TPU note: the label lookup is a masked one-hot reduction, NOT a gather
+    (``take_along_axis`` over the full-res [B,H,W,C] logits lowers to a
+    scalar gather costing ~65ms/step on v5e; the select+reduce fuses into
+    the softmax at ~1ms).
+    """
     num_classes = logits.shape[-1]
     valid = labels != ignore_index
     safe = jnp.clip(labels, 0, num_classes - 1)
+    onehot = safe[..., None] == jnp.arange(num_classes, dtype=safe.dtype)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
     if class_weight is not None:
-        w = jnp.asarray(class_weight, jnp.float32)[safe]
+        cw = jnp.asarray(class_weight, jnp.float32)
+        w = jnp.sum(jnp.where(onehot, cw, 0.0), axis=-1)
     else:
         w = jnp.ones_like(nll)
     w = jnp.where(valid, w, 0.0)
@@ -80,8 +88,9 @@ def ohem_cross_entropy(
     num_classes = logits.shape[-1]
     valid = (labels != ignore_index).reshape(-1)
     safe = jnp.clip(labels, 0, num_classes - 1)
+    onehot = safe[..., None] == jnp.arange(num_classes, dtype=safe.dtype)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    p_true = jnp.take_along_axis(probs, safe[..., None], axis=-1)[..., 0].reshape(-1)
+    p_true = jnp.sum(jnp.where(onehot, probs, 0.0), axis=-1).reshape(-1)
     # Invalid pixels -> prob 2.0: sorted last, never below any threshold <= 1.
     p_masked = jnp.where(valid, p_true, 2.0)
     sorted_p = jnp.sort(p_masked)
@@ -96,6 +105,62 @@ def ohem_cross_entropy(
     keep = valid & (p_masked < threshold)
     wce = wce.reshape(-1)
     return jnp.sum(jnp.where(keep, wce, 0.0)) / jnp.maximum(jnp.sum(keep), 1)
+
+
+def upsampled_cross_entropy(
+    seg: jnp.ndarray,  # [B, h, w, C] stride-level logits
+    labels: jnp.ndarray,  # [B, H, W] full-res labels
+    class_weight: Optional[Sequence[float]] = None,
+    ignore_index: int = -1,
+    row_block: int = 64,
+) -> jnp.ndarray:
+    """CE on align-corners-upsampled logits without materializing them.
+
+    Equivalent to ``cross_entropy(resize_bilinear_align_corners(seg, (H, W)),
+    labels)`` — the reference's ContrastCELoss path (loss_contrast.py:181) —
+    but streamed over row blocks under jax.checkpoint, so the peak
+    activation is [B, row_block, W, C] instead of [B, H, W, C] (the full
+    upsampled Cityscapes logits are 160MB fp32 x several autodiff copies,
+    enough to OOM a 16GB chip at batch 8).
+    """
+    import numpy as np
+
+    from contrastiveseg_tpu.ops.resize import _align_corners_matrix
+
+    B, h, w, C = seg.shape
+    H, W = labels.shape[1], labels.shape[2]
+    if (h, w) == (H, W):
+        return cross_entropy(seg, labels, class_weight, ignore_index)
+    nb = -(-H // row_block)
+    Hp = nb * row_block
+    a_h = _align_corners_matrix(H, h)  # [H, h]
+    a_h = np.pad(a_h, ((0, Hp - H), (0, 0))).reshape(nb, row_block, h)
+    a_w = jnp.asarray(_align_corners_matrix(W, w))
+    labels_p = jnp.pad(
+        labels, ((0, 0), (0, Hp - H), (0, 0)), constant_values=ignore_index
+    ).reshape(B, nb, row_block, W).transpose(1, 0, 2, 3)
+
+    hp = jax.lax.Precision.HIGHEST
+
+    @jax.checkpoint
+    def block_loss(a_h_blk, lab_blk):
+        up = jnp.einsum("rp,bpqc->brqc", a_h_blk, seg.astype(jnp.float32),
+                        precision=hp)
+        up = jnp.einsum("oq,brqc->broc", a_w, up, precision=hp)
+        wce, wsum, _ = _per_pixel_ce(up, lab_blk, class_weight, ignore_index)
+        return jnp.sum(wce), jnp.sum(wsum)
+
+    def body(carry, inp):
+        num, den = carry
+        a_h_blk, lab_blk = inp
+        n, d = block_loss(a_h_blk, lab_blk)
+        return (num + n, den + d), None
+
+    (num, den), _ = jax.lax.scan(
+        body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+        (jnp.asarray(a_h), labels_p),
+    )
+    return num / jnp.maximum(den, 1e-12)
 
 
 def aux_cross_entropy(

@@ -34,6 +34,8 @@ class ContrastCELoss:
     aux_weight: float = 0.4
     seg_weight: float = 1.0
     include_class0: bool = True
+    seg_loss_kind: str = "ce"  # ce | rmi | lovasz (contrast.use_rmi/use_lovasz)
+    rmi_params: Optional[dict] = None
 
     def __call__(
         self,
@@ -47,8 +49,40 @@ class ContrastCELoss:
         seg = outputs["seg"]  # [B, h/s, w/s, C] stride-level logits
         embed = outputs["embed"]
 
+        if self.seg_loss_kind == "ce" and not self.use_aux:
+            # Memory-streamed path: never materializes full-res logits.
+            from contrastiveseg_tpu.losses.ce import upsampled_cross_entropy
+
+            seg_loss = upsampled_cross_entropy(
+                seg, targets, self.class_weight, self.ignore_index
+            )
+            return self._finish(key, outputs, targets, with_embed, bank,
+                                seg, embed, seg_loss)
+
         pred_full = resize_bilinear_align_corners(seg, (h, w))
-        if self.use_aux:
+        if self.seg_loss_kind == "rmi":
+            from contrastiveseg_tpu.losses.rmi import rmi_loss
+
+            seg_loss = rmi_loss(
+                pred_full, targets, pred_full.shape[-1],
+                **(self.rmi_params or {}),
+            )
+            if self.use_aux:
+                aux_full = resize_bilinear_align_corners(
+                    outputs["seg_aux"], (h, w)
+                )
+                seg_loss = self.seg_weight * seg_loss + (
+                    self.aux_weight
+                    * cross_entropy(aux_full, targets, self.class_weight,
+                                    self.ignore_index)
+                )
+        elif self.seg_loss_kind == "lovasz":
+            from contrastiveseg_tpu.losses.lovasz import ce_lovasz_loss
+
+            seg_loss = ce_lovasz_loss(
+                pred_full, targets, self.class_weight, self.ignore_index
+            )
+        elif self.use_aux:
             aux_full = resize_bilinear_align_corners(outputs["seg_aux"], (h, w))
             seg_loss = aux_cross_entropy(
                 pred_full, aux_full, targets,
@@ -60,6 +94,11 @@ class ContrastCELoss:
                 pred_full, targets, self.class_weight, self.ignore_index
             )
 
+        return self._finish(key, outputs, targets, with_embed, bank,
+                            seg, embed, seg_loss)
+
+    def _finish(self, key, outputs, targets, with_embed, bank, seg, embed,
+                seg_loss):
         predict = jnp.argmax(seg, axis=-1).astype(jnp.int32)
         if bank is not None:
             q_f, q_l, q_v = bank_as_contrast_set(bank, self.include_class0)

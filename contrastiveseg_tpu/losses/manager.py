@@ -61,8 +61,26 @@ def _fs_auxce(cfg):
     )
 
 
+def _rmi_params(cfg) -> dict:
+    p = cfg.get("loss.params", default={})
+    return {
+        "radius": p.get("rmi_radius", 3),
+        "pool_size": p.get("rmi_pool_size", 3),
+        "pool_stride": p.get("rmi_pool_stride", 3),
+        "pool_way": p.get("rmi_pool_way", 0),
+        "weight_lambda": p.get("loss_weight_lambda", 0.5),
+        "lambda_way": p.get("lambda_way", 1),
+        "loss_weight": p.get("loss_weight", 1.0),
+    }
+
+
 def _contrast(cfg, use_aux: bool):
     lw = cfg.get("network.loss_weights", default={})
+    kind = "ce"
+    if cfg.get("contrast.use_rmi", default=False):
+        kind = "rmi"
+    elif cfg.get("contrast.use_lovasz", default=False):
+        kind = "lovasz"
     return ContrastCELoss(
         spec=_contrast_spec(cfg),
         loss_weight=cfg.get("contrast.loss_weight", default=0.1),
@@ -70,6 +88,8 @@ def _contrast(cfg, use_aux: bool):
         aux_weight=lw.get("aux_loss", 0.4),
         seg_weight=lw.get("seg_loss", 1.0),
         include_class0=cfg.get("contrast.include_class0", default=True),
+        seg_loss_kind=kind,
+        rmi_params=_rmi_params(cfg) if kind == "rmi" else None,
         **_common(cfg),
     )
 
@@ -82,6 +102,77 @@ def _contrast_ce(cfg):
 @LOSSES.register("contrast_auxce_loss")
 def _contrast_auxce(cfg):
     return _contrast(cfg, use_aux=True)
+
+
+class _RMISegLoss:
+    """fs_rmi_loss / fs_aux_rmi_loss / rmi_loss wrappers."""
+
+    def __init__(self, cfg, use_aux: bool):
+        self.params = _rmi_params(cfg)
+        self.num_classes = cfg.get("data.num_classes")
+        self.use_aux = use_aux
+        lw = cfg.get("network.loss_weights", default={})
+        self.aux_weight = lw.get("aux_loss", 0.4)
+        self.seg_weight = lw.get("seg_loss", 1.0)
+        c = _common(cfg)
+        self.class_weight = c["class_weight"]
+        self.ignore_index = c["ignore_index"]
+
+    def __call__(self, key, outputs, targets, with_embed=True, bank=None):
+        import jax.numpy as jnp
+
+        from contrastiveseg_tpu.losses.ce import cross_entropy
+        from contrastiveseg_tpu.losses.rmi import rmi_loss
+        from contrastiveseg_tpu.ops.resize import resize_bilinear_align_corners
+
+        h, w = targets.shape[1], targets.shape[2]
+        seg = outputs["seg"]
+        if seg.shape[1:3] != (h, w):
+            seg = resize_bilinear_align_corners(seg, (h, w))
+        loss = rmi_loss(seg, targets, self.num_classes, **self.params)
+        if self.use_aux and "seg_aux" in outputs:
+            aux = outputs["seg_aux"]
+            if aux.shape[1:3] != (h, w):
+                aux = resize_bilinear_align_corners(aux, (h, w))
+            loss = self.seg_weight * loss + self.aux_weight * cross_entropy(
+                aux, targets, self.class_weight, self.ignore_index
+            )
+        return loss, {"loss_seg": loss, "loss": loss}
+
+
+@LOSSES.register("rmi_loss")
+@LOSSES.register("fs_rmi_loss")
+def _fs_rmi(cfg):
+    return _RMISegLoss(cfg, use_aux=False)
+
+
+@LOSSES.register("fs_aux_rmi_loss")
+def _fs_aux_rmi(cfg):
+    return _RMISegLoss(cfg, use_aux=True)
+
+
+class _LovaszSegLoss:
+    def __init__(self, cfg):
+        c = _common(cfg)
+        self.class_weight = c["class_weight"]
+        self.ignore_index = c["ignore_index"]
+
+    def __call__(self, key, outputs, targets, with_embed=True, bank=None):
+        from contrastiveseg_tpu.losses.lovasz import ce_lovasz_loss
+        from contrastiveseg_tpu.ops.resize import resize_bilinear_align_corners
+
+        h, w = targets.shape[1], targets.shape[2]
+        seg = outputs["seg"]
+        if seg.shape[1:3] != (h, w):
+            seg = resize_bilinear_align_corners(seg, (h, w))
+        loss = ce_lovasz_loss(seg, targets, self.class_weight,
+                              self.ignore_index)
+        return loss, {"loss_seg": loss, "loss": loss}
+
+
+@LOSSES.register("fs_ce_lovasz_loss")
+def _fs_ce_lovasz(cfg):
+    return _LovaszSegLoss(cfg)
 
 
 # mem variants share the same callable; the trainer passes the MemoryBank.

@@ -1,0 +1,207 @@
+"""Self-attention context modules: non-local, ISA, OC, PSP, ASP-OC.
+
+Re-designs of:
+  * SelfAttentionBlock2D (lib/models/modules/isa_block.py:10-71) — plain
+    scaled-dot self-attention over all pixels, as NHWC einsums;
+  * ISA_Block / ISA_Module (isa_block.py:73-188) — interlaced sparse
+    attention: block-partition the map, attend long-range across blocks
+    then short-range within blocks (reshape/transpose only, no gathers);
+  * BaseOC_Module (base_oc_block.py:116+) — attention context + residual;
+  * PSPModule (psp_block.py:15) — pyramid pooling;
+  * ASP_OC_Module (asp_oc_block.py:21) — ASPP with an OC context branch.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from contrastiveseg_tpu.models.layers import ConvBN
+from contrastiveseg_tpu.models.ocr import ConvBNAct
+from contrastiveseg_tpu.ops.resize import resize_bilinear_align_corners
+
+
+class SelfAttention2D(nn.Module):
+    """Scaled-dot self-attention over the full map (non-local block)."""
+
+    key_channels: int
+    value_channels: int
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    def _double_conv(self, name, x, train):
+        x = nn.Conv(self.key_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name=f"{name}_1")(x)
+        x = ConvBNAct(dtype=self.dtype, name=f"{name}_bn1")(x, train)
+        x = nn.Conv(self.key_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name=f"{name}_2")(x)
+        x = ConvBNAct(dtype=self.dtype, name=f"{name}_bn2")(x, train)
+        return x
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        q = self._double_conv("f_query", x, train).reshape(B, H * W, -1)
+        k = self._double_conv("f_key", x, train).reshape(B, H * W, -1)
+        v = nn.Conv(self.value_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="f_value")(x).reshape(B, H * W, -1)
+        sim = jnp.einsum(
+            "bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32
+        ) * (self.key_channels ** -0.5)
+        sim = jax.nn.softmax(sim, axis=-1)
+        ctx = jnp.einsum(
+            "bnm,bmd->bnd", sim.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype).reshape(B, H, W, self.value_channels)
+        ctx = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                      dtype=self.dtype, name="W")(ctx)
+        return ConvBNAct(dtype=self.dtype, name="W_bn")(ctx, train)
+
+
+class ISABlock(nn.Module):
+    """Interlaced sparse self-attention (isa_block.py:73-135)."""
+
+    key_channels: int
+    value_channels: int
+    out_channels: int
+    down_factor: tuple[int, int] = (8, 8)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        dh, dw = self.down_factor
+        oh, ow = math.ceil(h / dh), math.ceil(w / dw)
+        ph, pw = oh * dh - h, ow * dw - w
+        if ph or pw:
+            x = jnp.pad(
+                x,
+                ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2),
+                 (0, 0)),
+            )
+        # long-range: group pixels with the same intra-block coordinate.
+        f = x.reshape(n, oh, dh, ow, dw, c).transpose(0, 2, 4, 1, 3, 5)
+        f = f.reshape(n * dh * dw, oh, ow, c)
+        f = SelfAttention2D(
+            self.key_channels, self.value_channels, self.out_channels,
+            dtype=self.dtype, name="long_range",
+        )(f, train)
+        co = self.out_channels
+        # short-range: attend within each block.
+        f = f.reshape(n, dh, dw, oh, ow, co).transpose(0, 3, 4, 1, 2, 5)
+        f = f.reshape(n * oh * ow, dh, dw, co)
+        f = SelfAttention2D(
+            self.key_channels, self.value_channels, co,
+            dtype=self.dtype, name="short_range",
+        )(f, train)
+        f = f.reshape(n, oh, ow, dh, dw, co).transpose(0, 1, 3, 2, 4, 5)
+        f = f.reshape(n, oh * dh, ow * dw, co)
+        if ph or pw:
+            f = f[:, ph // 2:ph // 2 + h, pw // 2:pw // 2 + w, :]
+        return f
+
+
+class ISAModule(nn.Module):
+    """Parallel ISA blocks over down_factors + concat (isa_block.py:138-188)."""
+
+    key_channels: int = 256
+    value_channels: int = 512
+    out_channels: int = 512
+    down_factors: Sequence[tuple[int, int]] = ((8, 8),)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        outs = []
+        for i, df in enumerate(self.down_factors):
+            outs.append(
+                ISABlock(
+                    self.key_channels, self.value_channels, self.out_channels,
+                    down_factor=tuple(df), dtype=self.dtype, name=f"isa{i}",
+                )(x, train)
+            )
+        return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+
+
+class BaseOCModule(nn.Module):
+    """Self-attention context concat input + 1x1 proj (base_oc_block.py:116)."""
+
+    key_channels: int = 256
+    value_channels: int = 256
+    out_channels: int = 512
+    dropout: float = 0.05
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        ctx = SelfAttention2D(
+            self.key_channels, self.value_channels, self.out_channels,
+            dtype=self.dtype, name="attention",
+        )(x, train)
+        out = jnp.concatenate([ctx, x], axis=-1)
+        out = ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
+                     name="project")(out, train)
+        return nn.Dropout(self.dropout, deterministic=not train,
+                          name="drop")(out)
+
+
+class PSPModule(nn.Module):
+    """Pyramid scene parsing pooling (psp_block.py:15)."""
+
+    out_channels: int = 512
+    sizes: Sequence[int] = (1, 2, 3, 6)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        branch_ch = self.out_channels // len(self.sizes)
+        feats = [x]
+        for i, s in enumerate(self.sizes):
+            # Adaptive average pooling to s x s.
+            ph, pw = H // s, W // s
+            p = x[:, : ph * s, : pw * s, :].reshape(B, s, ph, s, pw, C)
+            p = p.mean(axis=(2, 4))
+            p = ConvBN(branch_ch, 1, use_relu=True, dtype=self.dtype,
+                       name=f"stage{i}")(p, train)
+            feats.append(resize_bilinear_align_corners(p, (H, W)))
+        out = jnp.concatenate(feats, axis=-1)
+        out = ConvBN(self.out_channels, 3, use_relu=True, dtype=self.dtype,
+                     name="bottleneck")(out, train)
+        return nn.Dropout(0.1, deterministic=not train, name="drop")(out)
+
+
+class ASPOCModule(nn.Module):
+    """ASPP whose image branch is an OC attention context (asp_oc_block.py:21)."""
+
+    out_channels: int = 512
+    rates: Sequence[int] = (12, 24, 36)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        ctx = ConvBN(self.out_channels, 3, use_relu=True, dtype=self.dtype,
+                     name="context_conv")(x, train)
+        ctx = BaseOCModule(
+            key_channels=self.out_channels // 2,
+            value_channels=self.out_channels,
+            out_channels=self.out_channels, dtype=self.dtype, name="oc",
+        )(ctx, train)
+        branches = [
+            ctx,
+            ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
+                   name="b0")(x, train),
+        ]
+        for i, r in enumerate(self.rates):
+            branches.append(
+                ConvBN(self.out_channels, 3, dilation=r, use_relu=True,
+                       dtype=self.dtype, name=f"b{i + 1}")(x, train)
+            )
+        out = jnp.concatenate(branches, axis=-1)
+        out = ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
+                     name="project")(out, train)
+        return nn.Dropout(0.1, deterministic=not train, name="drop")(out)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -266,6 +267,133 @@ for _w in (18, 32, 48, 64):
     MODELS.register(f"hrnet_w{_w}_ocr_contrast")(
         _hrnet_ocr_variant(f"hrnet{_w}", with_proj=True)
     )
+    # OCR "B": cheaper 256-ch head, 128 key channels (nets/hrnet.py:249-299).
+    MODELS.register(f"hrnet_w{_w}_ocr_b")(
+        _hrnet_ocr_variant(f"hrnet{_w}", mid_channels=256, key_channels=128)
+    )
+
+
+class ResNetContextNet(nn.Module):
+    """Dilated ResNet + pluggable context head + DSN aux.
+
+    Covers the reference's fcnet (nets/fcnet.py:21-105), base_ocnet /
+    asp_ocnet (nets/ocnet.py:18-100), isanet (nets/isanet.py:9-44) and
+    spatial_asp_ocrnet, which differ only in the context module applied to
+    the layer4 features.
+    """
+
+    num_classes: int
+    context: str = "none"  # none | base_oc | asp_oc | isa | psp
+    arch: str = "resnet101_dilated8"
+    upsample_out: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> dict[str, jnp.ndarray]:
+        from contrastiveseg_tpu.models.attention import (
+            ASPOCModule,
+            BaseOCModule,
+            ISAModule,
+            PSPModule,
+        )
+
+        in_h, in_w = x.shape[1], x.shape[2]
+        feats = ResNet(RESNET_SPECS[self.arch], dtype=self.dtype, name="backbone")(
+            x.astype(self.dtype), train
+        )
+        c3, c4 = feats[-2], feats[-1]
+        aux = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
+                     name="dsn_conv")(c3, train)
+        aux = nn.Dropout(0.05, deterministic=not train, name="dsn_drop")(aux)
+        aux = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                      name="dsn_cls")(aux.astype(jnp.float32))
+
+        if self.context == "asp_oc":
+            f = ASPOCModule(512, dtype=self.dtype, name="context")(c4, train)
+        elif self.context == "psp":
+            f = PSPModule(512, dtype=self.dtype, name="context")(c4, train)
+        else:
+            f = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
+                       name="conv3x3")(c4, train)
+            if self.context == "base_oc":
+                f = BaseOCModule(out_channels=512, dtype=self.dtype,
+                                 name="context")(f, train)
+            elif self.context == "isa":
+                f = ISAModule(out_channels=512, dtype=self.dtype,
+                              name="context")(f, train)
+            else:  # plain dilated FCN head
+                f = nn.Dropout(0.1, deterministic=not train,
+                               name="fcn_drop")(f)
+        seg = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                      name="cls")(f.astype(jnp.float32))
+        if self.upsample_out:
+            seg = resize_bilinear_align_corners(seg, (in_h, in_w))
+            aux = resize_bilinear_align_corners(aux, (in_h, in_w))
+        return {"seg": seg, "seg_aux": aux}
+
+
+def _context_variant(context: str):
+    def build(cfg) -> nn.Module:
+        dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
+        return ResNetContextNet(
+            num_classes=cfg.get("data.num_classes"),
+            context=context,
+            arch=cfg.get("network.backbone", default="resnet101_dilated8")
+            .replace("deepbase_", ""),
+            dtype=dtype,
+        )
+
+    return build
+
+
+MODELS.register("fcnet")(_context_variant("none"))
+MODELS.register("base_ocnet")(_context_variant("base_oc"))
+MODELS.register("asp_ocnet")(_context_variant("asp_oc"))
+MODELS.register("isanet")(_context_variant("isa"))
+MODELS.register("pspnet")(_context_variant("psp"))
+MODELS.register("spatial_asp_ocrnet")(_context_variant("asp_oc"))
+
+
+class SegFixHRNet(nn.Module):
+    """SegFix offset model (reference nets/segfix.py:25-89): HRNet ->
+    concat branches -> dual 1x1-conv heads: binary boundary mask (2ch) and
+    direction classes."""
+
+    num_directions: int = 8
+    arch: str = "hrnet48"
+    mid_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> dict[str, jnp.ndarray]:
+        feats = HRNet(HRNET_SPECS[self.arch], dtype=self.dtype, name="backbone")(
+            x.astype(self.dtype), train
+        )
+        h, w = feats[0].shape[1], feats[0].shape[2]
+        cat = jnp.concatenate(
+            [feats[0]]
+            + [resize_bilinear_align_corners(f, (h, w), fast=True) for f in feats[1:]],
+            axis=-1,
+        )
+
+        def head(name, out_ch):
+            y = ConvBN(self.mid_channels, 1, use_relu=True, dtype=self.dtype,
+                       name=f"{name}_conv")(cat, train)
+            return nn.Conv(out_ch, (1, 1), use_bias=False, dtype=jnp.float32,
+                           name=f"{name}_cls")(y.astype(jnp.float32))
+
+        return {"mask": head("mask", 2), "dir": head("dir", self.num_directions)}
+
+
+@MODELS.register("segfix_hrnet")
+def _segfix_hrnet(cfg) -> nn.Module:
+    dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
+    backbone = cfg.get("network.backbone", default="hrnet48")
+    return SegFixHRNet(
+        num_directions=cfg.get("data.dt_num_classes", default=8),
+        arch=backbone if backbone in HRNET_SPECS else "hrnet48",
+        dtype=dtype,
+    )
 
 
 @MODELS.register("spatial_ocrnet")
@@ -275,6 +403,169 @@ def _spatial_ocrnet(cfg) -> nn.Module:
         num_classes=cfg.get("data.num_classes"),
         arch=cfg.get("network.backbone", default="resnet101_dilated8")
         .replace("deepbase_", ""),
+        dtype=dtype,
+    )
+
+
+class IdealSpatialOCRNet(nn.Module):
+    """Oracle OCR: context gathered with ground-truth one-hot maps
+    (reference nets/ideal_ocrnet.py:19-263).  `gt_labels` must be passed;
+    variants: gather (gt context only), distribute (gt attention only),
+    both."""
+
+    num_classes: int
+    variant: str = "both"  # both | gather | distribute
+    arch: str = "resnet101_dilated8"
+    upsample_out: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, gt_labels: jnp.ndarray = None,
+                 train: bool = True) -> dict[str, jnp.ndarray]:
+        from contrastiveseg_tpu.models.ocr import SpatialGather, SpatialOCR
+        from contrastiveseg_tpu.ops.resize import scale_target_nearest
+
+        in_h, in_w = x.shape[1], x.shape[2]
+        feats = ResNet(RESNET_SPECS[self.arch], dtype=self.dtype, name="backbone")(
+            x.astype(self.dtype), train
+        )
+        c3, c4 = feats[-2], feats[-1]
+        aux = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
+                     name="dsn_conv")(c3, train)
+        aux = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                      name="dsn_cls")(aux.astype(jnp.float32))
+        f = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
+                   name="conv3x3")(c4, train)
+        # GT one-hot at feature resolution; L1-normalized like the
+        # reference's label_to_onehot + F.normalize(p=1) gather.
+        h, w = f.shape[1], f.shape[2]
+        if gt_labels is None:
+            probs = aux  # degrade to predicted context
+            context = SpatialGather(name="ocr_gather")(f, probs)
+        else:
+            lab = scale_target_nearest(gt_labels, (h, w))
+            onehot = (
+                jnp.clip(lab, 0, self.num_classes - 1)[..., None]
+                == jnp.arange(self.num_classes)
+            ) & (lab >= 0)[..., None]
+            onehot = onehot.astype(jnp.float32).reshape(
+                f.shape[0], h * w, self.num_classes
+            )
+            onehot = onehot / jnp.maximum(
+                jnp.sum(onehot, axis=1, keepdims=True), 1e-12
+            )
+            context = jnp.einsum(
+                "bnk,bnc->bkc", onehot, f.reshape(f.shape[0], h * w, -1),
+                preferred_element_type=jnp.float32,
+            ).astype(f.dtype)
+        f = SpatialOCR(key_channels=256, out_channels=512, dropout=0.05,
+                       dtype=self.dtype, name="ocr_distri")(f, context, train)
+        seg = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                      name="cls")(f.astype(jnp.float32))
+        if self.upsample_out:
+            seg = resize_bilinear_align_corners(seg, (in_h, in_w))
+            aux = resize_bilinear_align_corners(aux, (in_h, in_w))
+        return {"seg": seg, "seg_aux": aux}
+
+
+class MscaleOCR(nn.Module):
+    """Hierarchical multi-scale attention OCR (reference nets/ms_ocrnet.py:9-257):
+    run the OCR trunk at 0.5x and 1.0x, predict a per-pixel attention map at
+    the low scale, fuse ``attn * up(lo) + (1 - attn) * hi``."""
+
+    num_classes: int
+    arch: str = "hrnet48"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> dict[str, jnp.ndarray]:
+        in_h, in_w = x.shape[1], x.shape[2]
+        x_lo = resize_bilinear_align_corners(x, (in_h // 2, in_w // 2))
+        # Shared trunk weights across scales: call the same submodule twice.
+        trunk = HRNetOCRSeg(
+            num_classes=self.num_classes, arch=self.arch,
+            upsample_out=False, dtype=self.dtype, name="ocr",
+        )
+        attn_head = nn.Sequential(
+            [nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="attn1"),
+             nn.relu,
+             nn.Conv(1, (1, 1), dtype=jnp.float32, name="attn2"),
+             jax.nn.sigmoid],
+        )
+        out_lo = trunk(x_lo, train)
+        attn = attn_head(out_lo["seg"].astype(self.dtype))
+        out_hi = trunk(x, train)
+
+        pred_lo = resize_bilinear_align_corners(out_lo["seg"], (in_h, in_w))
+        aux_lo = resize_bilinear_align_corners(out_lo["seg_aux"], (in_h, in_w))
+        attn_up = resize_bilinear_align_corners(attn, (in_h, in_w))
+        pred_hi = resize_bilinear_align_corners(out_hi["seg"], (in_h, in_w))
+        aux_hi = resize_bilinear_align_corners(out_hi["seg_aux"], (in_h, in_w))
+
+        pred = attn_up * pred_lo + (1.0 - attn_up) * pred_hi
+        aux = attn_up * aux_lo + (1.0 - attn_up) * aux_hi
+        return {
+            "seg": pred,
+            "pred": pred,
+            "aux": aux,
+            "seg_aux": aux,
+            "pred_05x": pred_lo,
+            "pred_10x": pred_hi,
+        }
+
+
+def _ce2p_variant(context: str):
+    def build(cfg) -> nn.Module:
+        from contrastiveseg_tpu.models.ce2p import CE2PNet
+
+        dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
+        return CE2PNet(
+            num_classes=cfg.get("data.num_classes"),
+            context=context,
+            arch=cfg.get("network.backbone", default="resnet101_dilated8")
+            .replace("deepbase_", ""),
+            dtype=dtype,
+        )
+
+    return build
+
+
+MODELS.register("ce2p_asp_ocrnet")(_ce2p_variant("asp_ocr"))
+MODELS.register("ce2p_ocrnet")(_ce2p_variant("ocr"))
+MODELS.register("ce2p_ideal_ocrnet")(_ce2p_variant("ocr"))
+
+
+def _ideal_variant(variant: str):
+    def build(cfg) -> nn.Module:
+        dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
+        return IdealSpatialOCRNet(
+            num_classes=cfg.get("data.num_classes"),
+            variant=variant,
+            arch=cfg.get("network.backbone", default="resnet101_dilated8")
+            .replace("deepbase_", ""),
+            dtype=dtype,
+        )
+
+    return build
+
+
+for _name, _v in [
+    ("ideal_spatial_ocrnet", "both"),
+    ("ideal_spatial_ocrnet_b", "both"),
+    ("ideal_spatial_ocrnet_c", "both"),
+    ("ideal_gather_ocrnet", "gather"),
+    ("ideal_distribute_ocrnet", "distribute"),
+]:
+    MODELS.register(_name)(_ideal_variant(_v))
+
+
+@MODELS.register("ms_ocr")
+def _ms_ocr(cfg) -> nn.Module:
+    dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
+    backbone = cfg.get("network.backbone", default="hrnet48")
+    return MscaleOCR(
+        num_classes=cfg.get("data.num_classes"),
+        arch=backbone if backbone in HRNET_SPECS else "hrnet48",
         dtype=dtype,
     )
 

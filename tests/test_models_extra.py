@@ -1,0 +1,66 @@
+"""Extended model zoo: output contracts for ISA/OC/CE2P/SegFix/MscaleOCR."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contrastiveseg_tpu.models.nets import MODELS
+from contrastiveseg_tpu.utils.config import Config
+
+
+def _cfg(model_name, backbone="resnet50_dilated8", num_classes=4):
+    return Config.from_args(overrides=[
+        f"data.num_classes={num_classes}",
+        f"network.model_name={model_name}",
+        f"network.backbone={backbone}",
+    ])
+
+
+def _run(model, hw=(32, 64), **kw):
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, *hw, 3), dtype=np.float32)
+    )
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x,
+        train=False, **kw,
+    )
+    return model.apply(variables, x, train=False, **kw), hw
+
+
+def test_isanet():
+    out, hw = _run(MODELS.build("isanet", _cfg("isanet")))
+    assert out["seg"].shape == (1, *hw, 4)
+    assert out["seg_aux"].shape == (1, *hw, 4)
+
+
+def test_base_ocnet():
+    out, hw = _run(MODELS.build("base_ocnet", _cfg("base_ocnet")))
+    assert out["seg"].shape == (1, *hw, 4)
+
+
+def test_ce2p():
+    out, hw = _run(MODELS.build("ce2p_ocrnet", _cfg("ce2p_ocrnet")))
+    assert out["seg"].shape == (1, *hw, 4)
+    assert out["edge"].shape == (1, *hw, 2)
+    assert out["seg_final"].shape == (1, *hw, 4)
+
+
+def test_segfix():
+    out, hw = _run(MODELS.build(
+        "segfix_hrnet", _cfg("segfix_hrnet", backbone="hrnet18")))
+    assert out["mask"].shape == (1, hw[0] // 4, hw[1] // 4, 2)
+    assert out["dir"].shape == (1, hw[0] // 4, hw[1] // 4, 8)
+
+
+def test_ideal_ocrnet_with_gt():
+    model = MODELS.build("ideal_spatial_ocrnet", _cfg("ideal_spatial_ocrnet"))
+    x = jnp.zeros((1, 32, 64, 3), jnp.float32)
+    gt = jnp.asarray(
+        np.random.default_rng(1).integers(0, 4, size=(1, 32, 64)).astype(np.int32)
+    )
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x,
+        gt_labels=gt, train=False,
+    )
+    out = model.apply(variables, x, gt_labels=gt, train=False)
+    assert out["seg"].shape == (1, 32, 64, 4)

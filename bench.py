@@ -68,12 +68,17 @@ def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool):
         rng=k_state,
         tx=tx,
     )
+    # donate=False: buffer donation reliably faults the axon remote-TPU
+    # worker with this program (INTERNAL kernel fault at first execute);
+    # without it the step fits and runs ~25 img/s.  Real multi-chip
+    # deployments keep donation on via the Trainer (network.donate).
     step_fn = make_train_step(
         model,
         build_loss(cfg),
         warmup_iters=0,
         network_stride=cfg.get("network.stride"),
         pixel_update_freq=cfg.get("contrast.pixel_update_freq"),
+        donate=False,
     )
 
     rng_np = np.random.default_rng(0)
@@ -126,20 +131,28 @@ def main() -> None:
         # child and retry, so the driver always gets a JSON line.
         import subprocess
 
-        cmd = [sys.executable, os.path.abspath(__file__), "--worker"] + [
-            a for a in sys.argv[1:]
-        ]
+        base_args = [a for a in sys.argv[1:] if not a.startswith("--batch")]
+        start_batch = args.batch or 8
         last = ""
-        for attempt in range(3):
-            proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=3600)
+        for attempt, b in enumerate(
+            [start_batch, start_batch, max(start_batch // 2, 1),
+             max(start_batch // 4, 1)]
+        ):
+            cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+                   f"--batch={b}"] + base_args
+            try:
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=3600)
+            except subprocess.TimeoutExpired:
+                last = "timeout"
+                continue
             for line in reversed(proc.stdout.strip().splitlines()):
                 if line.startswith("{"):
                     print(line)
                     return
             last = (proc.stderr or "")[-2000:]
-            print(f"# bench attempt {attempt + 1} failed, retrying",
-                  file=sys.stderr)
+            print(f"# bench attempt {attempt + 1} (batch {b}) failed, "
+                  "retrying", file=sys.stderr)
         print(f"# bench failed after retries: {last}", file=sys.stderr)
         sys.exit(1)
 

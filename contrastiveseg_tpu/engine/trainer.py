@@ -87,6 +87,7 @@ class Trainer:
             queue_include_class0=cfg.get(
                 "contrast.include_class0", default=True
             ),
+            donate=cfg.get("network.donate", default=True),
         )
         self.evaluator = Evaluator(
             self.model,

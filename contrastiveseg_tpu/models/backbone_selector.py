@@ -1,0 +1,40 @@
+"""Backbone selector: string -> (module, feature contract).
+
+Reference: BackboneSelector.get_backbone string-matching
+(lib/models/backbones/backbone_selector.py:28-63).  Every backbone returns
+a list of NHWC feature maps; `aux_main` says which two entries feed the
+DSN-aux / main heads.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from contrastiveseg_tpu.models.hrnet import HRNET_SPECS, HRNet
+from contrastiveseg_tpu.models.mobilenet import MobileNetSpec, MobileNetV2
+from contrastiveseg_tpu.models.pvt import PVT, PVT_SPECS
+from contrastiveseg_tpu.models.resnet import RESNET_SPECS, ResNet
+from contrastiveseg_tpu.models.vit import VIT_SPECS, ViT
+
+
+def build_backbone(name: str, dtype: Any = jnp.float32, module_name: str = "backbone"):
+    """Returns a flax module whose __call__(x, train) -> list of features."""
+    name = name.replace("deepbase_", "")
+    if name in HRNET_SPECS:
+        return HRNet(HRNET_SPECS[name], dtype=dtype, name=module_name)
+    if name in RESNET_SPECS:
+        return ResNet(RESNET_SPECS[name], dtype=dtype, name=module_name)
+    if name in PVT_SPECS:
+        return PVT(PVT_SPECS[name], dtype=dtype, name=module_name)
+    if name in VIT_SPECS:
+        return ViT(VIT_SPECS[name], dtype=dtype, name=module_name)
+    if name.startswith("mobilenetv2"):
+        dilate = 8 if "dilated8" in name else (16 if "dilated16" in name else None)
+        return MobileNetV2(MobileNetSpec(dilate_scale=dilate), dtype=dtype,
+                           name=module_name)
+    raise KeyError(
+        f"unknown backbone {name!r}; known: "
+        f"{sorted([*HRNET_SPECS, *RESNET_SPECS, *PVT_SPECS, *VIT_SPECS, 'mobilenetv2'])}"
+    )

@@ -121,10 +121,17 @@ class HighResolutionModule(nn.Module):
 
 
 class HRNet(nn.Module):
-    """Returns the four multi-resolution feature maps (strides 4/8/16/32)."""
+    """Returns the four multi-resolution feature maps (strides 4/8/16/32).
+
+    ``remat=True`` rematerializes each HighResolutionModule in the backward
+    pass (jax.checkpoint): ~2.5x lower activation memory for ~25% more
+    FLOPs — the XLA-native replacement for the reference's InPlace-ABN
+    memory trick (SURVEY.md §2.10).
+    """
 
     spec: HRNetSpec
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> list[jnp.ndarray]:
@@ -157,8 +164,12 @@ class HRNet(nn.Module):
                                name=f"transition{stage_idx}_b{i}")(xs[-1], train)
                 new_xs.append(y)
             xs = new_xs
+            mod_cls = (
+                nn.remat(HighResolutionModule, static_argnums=(2,))
+                if self.remat else HighResolutionModule
+            )
             for m in range(stage.num_modules):
-                xs = HighResolutionModule(
+                xs = mod_cls(
                     stage.num_channels, stage.num_blocks, dtype=self.dtype,
                     name=f"stage{stage_idx}_module{m}",
                 )(xs, train)

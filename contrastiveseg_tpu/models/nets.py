@@ -38,12 +38,14 @@ class HRNetSeg(nn.Module):
     with_proj: bool = False
     proj_dim: int = 256
     upsample_out: bool = True  # plain net upsamples to input size
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> dict[str, jnp.ndarray]:
         in_h, in_w = x.shape[1], x.shape[2]
-        feats = HRNet(HRNET_SPECS[self.arch], dtype=self.dtype, name="backbone")(
+        feats = HRNet(HRNET_SPECS[self.arch], dtype=self.dtype,
+                      remat=self.remat, name="backbone")(
             x.astype(self.dtype), train
         )
         h, w = feats[0].shape[1], feats[0].shape[2]
@@ -214,6 +216,7 @@ def _hrnet_variant(arch: str, **defaults):
             num_classes=cfg.get("data.num_classes"),
             arch=arch,
             proj_dim=cfg.get("contrast.proj_dim", default=256),
+            remat=cfg.get("network.remat", default=False),
             dtype=dtype,
             **defaults,
         )
@@ -557,6 +560,109 @@ for _name, _v in [
     ("ideal_distribute_ocrnet", "distribute"),
 ]:
     MODELS.register(_name)(_ideal_variant(_v))
+
+
+def _setr_variant(decoder: str):
+    def build(cfg) -> nn.Module:
+        from contrastiveseg_tpu.models.vit import SETR
+
+        dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
+        backbone = cfg.get("network.backbone", default="vit_base")
+        return SETR(
+            num_classes=cfg.get("data.num_classes"),
+            arch=backbone if backbone.startswith("vit") else "vit_base",
+            decoder=decoder,
+            dtype=dtype,
+        )
+
+    return build
+
+
+MODELS.register("setr_naive")(_setr_variant("naive"))
+MODELS.register("setr_pup")(_setr_variant("pup"))
+MODELS.register("setr_mla")(_setr_variant("mla"))
+
+
+class PyramidSegNet(nn.Module):
+    """Semantic-FPN-style decoder over a 4-scale pyramid backbone
+    (PVT/SVT/HRNet) — reference nets/semantic_fpn.py:11-206."""
+
+    num_classes: int
+    backbone: str = "pvt_small"
+    fpn_dim: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> dict[str, jnp.ndarray]:
+        from contrastiveseg_tpu.models.backbone_selector import build_backbone
+
+        in_h, in_w = x.shape[1], x.shape[2]
+        feats = build_backbone(self.backbone, dtype=self.dtype)(
+            x.astype(self.dtype), train
+        )
+        # Top-down FPN with 1x1 laterals + upsample-sum.
+        laterals = [
+            ConvBN(self.fpn_dim, 1, use_relu=True, dtype=self.dtype,
+                   name=f"lateral{i}")(f, train)
+            for i, f in enumerate(feats)
+        ]
+        for i in range(len(laterals) - 2, -1, -1):
+            up = resize_bilinear_align_corners(
+                laterals[i + 1],
+                (laterals[i].shape[1], laterals[i].shape[2]), fast=True,
+            )
+            laterals[i] = laterals[i] + up
+        h, w = laterals[0].shape[1], laterals[0].shape[2]
+        merged = sum(
+            resize_bilinear_align_corners(
+                ConvBN(128, 3, use_relu=True, dtype=self.dtype,
+                       name=f"fpn_out{i}")(f, train),
+                (h, w), fast=True,
+            )
+            for i, f in enumerate(laterals)
+        )
+        seg = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                      name="cls")(merged.astype(jnp.float32))
+        seg = resize_bilinear_align_corners(seg, (in_h, in_w))
+        return {"seg": seg}
+
+
+@MODELS.register("semantic_fpn")
+def _semantic_fpn(cfg) -> nn.Module:
+    dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
+    return PyramidSegNet(
+        num_classes=cfg.get("data.num_classes"),
+        backbone=cfg.get("network.backbone", default="pvt_small"),
+        dtype=dtype,
+    )
+
+
+@MODELS.register("deeplab_v3_mobilenet")
+def _deeplab_mobilenet(cfg) -> nn.Module:
+    """DeepLab head on a dilated MobileNetV2 (mobilenet backbone coverage)."""
+    dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
+
+    class _Net(nn.Module):
+        num_classes: int
+        dtype_: Any
+
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            from contrastiveseg_tpu.models.backbone_selector import (
+                build_backbone,
+            )
+            from contrastiveseg_tpu.models.heads import ASPP
+
+            in_h, in_w = x.shape[1], x.shape[2]
+            feats = build_backbone("mobilenetv2_dilated8", dtype=self.dtype_)(
+                x.astype(self.dtype_), train
+            )
+            a = ASPP(256, dtype=self.dtype_, name="aspp")(feats[-1], train)
+            seg = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                          name="cls")(a.astype(jnp.float32))
+            return {"seg": resize_bilinear_align_corners(seg, (in_h, in_w))}
+
+    return _Net(num_classes=cfg.get("data.num_classes"), dtype_=dtype)
 
 
 @MODELS.register("ms_ocr")

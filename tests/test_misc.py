@@ -1,0 +1,87 @@
+"""AAF loss, SWA, visualizers, offset helper, F1 score."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contrastiveseg_tpu.engine.swa import init_swa, maybe_update_swa
+from contrastiveseg_tpu.losses.aaf import aaf_loss
+from contrastiveseg_tpu.metrics.f1_score import F1RunningScore
+from contrastiveseg_tpu.utils.offset_helper import (
+    DTOffsetConfig,
+    align_angle,
+    label_to_vector,
+)
+from contrastiveseg_tpu.utils.visualizer import error_map, overlay_segmentation
+from contrastiveseg_tpu.utils.palette import get_palette
+
+
+def test_aaf_loss_basics():
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 16, 16, 4
+    labels = rng.integers(0, C, size=(B, H, W)).astype(np.int32)
+    # Perfect prediction -> non-edge KL ~ 0; edge hinge positive.
+    onehot = jax.nn.one_hot(jnp.asarray(labels), C) * 0.98 + 0.005
+    loss_perfect = float(aaf_loss(onehot, jnp.asarray(labels), C))
+    uniform = jnp.full((B, H, W, C), 1.0 / C)
+    loss_uniform = float(aaf_loss(uniform, jnp.asarray(labels), C))
+    assert np.isfinite(loss_perfect) and np.isfinite(loss_uniform)
+    # Uniform prediction has higher edge hinge (no KL at edges).
+    assert loss_uniform > 0
+
+    g = jax.grad(lambda p: aaf_loss(p, jnp.asarray(labels), C))(onehot)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_swa_running_average():
+    params = {"w": jnp.ones((3,))}
+    swa = init_swa(params)
+    swa = maybe_update_swa(swa, {"w": jnp.full((3,), 2.0)}, step=10,
+                           swa_start=5, swa_freq=5)
+    swa = maybe_update_swa(swa, {"w": jnp.full((3,), 4.0)}, step=15,
+                           swa_start=5, swa_freq=5)
+    np.testing.assert_allclose(np.asarray(swa.avg_params["w"]), 3.0)
+    assert int(swa.n_averaged) == 2
+    # Off-cycle step does not change the average.
+    swa2 = maybe_update_swa(swa, {"w": jnp.full((3,), 100.0)}, step=16,
+                            swa_start=5, swa_freq=5)
+    np.testing.assert_allclose(np.asarray(swa2.avg_params["w"]), 3.0)
+
+
+def test_offset_helper_roundtrip():
+    cfg = DTOffsetConfig(num_classes=8)
+    angles = np.array([[-180.0, -135.0, 0.0, 44.9, 179.9]])
+    _, idx = align_angle(angles, 8)
+    assert idx.shape == angles.shape
+    vec = label_to_vector(idx, cfg)
+    assert vec.shape == (*angles.shape, 2)
+    # label 0 is (0, -1) in the 8-class mapping.
+    assert tuple(vec[0, 0]) == (0, -1)
+    # invalid labels map to the zero vector.
+    assert tuple(label_to_vector(np.array([[-1]]), cfg)[0, 0]) == (0, 0)
+
+
+def test_f1_score_perfect_and_shifted():
+    f1 = F1RunningScore(num_classes=2, boundary_threshold=2)
+    lab = np.zeros((32, 32), np.int64)
+    lab[8:24, 8:24] = 1
+    f1.update(lab, lab)
+    assert f1.get_scores()["f1"] > 0.99
+    f1.reset()
+    pred = np.zeros_like(lab)
+    pred[9:25, 9:25] = 1  # 1px shift within tolerance 2
+    f1.update(pred, lab)
+    assert f1.get_scores()["f1"] > 0.95
+
+
+def test_visualizers():
+    rng = np.random.default_rng(0)
+    pred = rng.integers(0, 19, size=(16, 16)).astype(np.int64)
+    lab = pred.copy()
+    lab[0, 0] = -1
+    img = rng.integers(0, 255, size=(16, 16, 3)).astype(np.uint8)
+    pal = get_palette("cityscapes", 19)
+    assert overlay_segmentation(img, pred, pal).shape == (16, 16, 3)
+    em = error_map(pred, lab)
+    assert (em[0, 0] == 0).all()  # ignored -> black
+    assert (em[1:][pred[1:] == lab[1:]] == [0, 160, 0]).all()

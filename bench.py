@@ -131,7 +131,18 @@ def main() -> None:
         # child and retry, so the driver always gets a JSON line.
         import subprocess
 
-        base_args = [a for a in sys.argv[1:] if not a.startswith("--batch")]
+        base_args = []
+        skip = False
+        for a in sys.argv[1:]:
+            if skip:
+                skip = False
+                continue
+            if a == "--batch":
+                skip = True
+                continue
+            if a.startswith("--batch"):
+                continue
+            base_args.append(a)
         start_batch = args.batch or 8
         last = ""
         for attempt, b in enumerate(

@@ -150,7 +150,8 @@ class SyntheticSegDataset:
 
 
 def build_dataset(cfg, split: str = "train"):
-    """DataLoader facade dataset selection (lib/datasets/data_loader.py:97-133)."""
+    """DataLoader facade dataset selection (lib/datasets/data_loader.py:97-133):
+    `data.loader` picks LipLoader / DTOffsetLoader equivalents."""
     if cfg.get("data.synthetic", default=False):
         h, w = cfg.get("data.synthetic_size", default=[512, 1024])
         return SyntheticSegDataset(
@@ -158,10 +159,26 @@ def build_dataset(cfg, split: str = "train"):
             size_hw=(h, w),
             length=cfg.get("data.synthetic_length", default=64),
         )
-    return DirectorySegDataset(
+    kwargs = dict(
         root=cfg.get("data.data_dir"),
         split=split,
         label_list=cfg.get("data.label_list", default=None),
         reduce_zero_label=cfg.get("data.reduce_zero_label", default=False),
         use_file_list=cfg.get("data.use_file_list", default=None),
     )
+    loader = cfg.get("data.loader", default="default")
+    if loader == "lip":
+        from contrastiveseg_tpu.data.loaders_extra import LipDataset
+
+        return LipDataset(**kwargs)
+    if loader == "dt_offset":
+        from contrastiveseg_tpu.data.loaders_extra import DTOffsetDataset
+        from contrastiveseg_tpu.utils.offset_helper import DTOffsetConfig
+
+        return DTOffsetDataset(
+            dt_config=DTOffsetConfig(
+                num_classes=cfg.get("data.dt_num_classes", default=8)
+            ),
+            **kwargs,
+        )
+    return DirectorySegDataset(**kwargs)

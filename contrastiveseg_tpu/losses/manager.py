@@ -186,6 +186,49 @@ def _mem_contrast_auxce(cfg):
     return _contrast(cfg, use_aux=True)
 
 
+class _MsAuxRMILoss:
+    """ms_fs_aux_rmi_loss for MscaleOCR (reference nets/ms_ocrnet.py output
+    contract): RMI on the fused prediction + aux CE + scale-consistency CE
+    on the 0.5x/1.0x branch predictions."""
+
+    def __init__(self, cfg):
+        self.rmi = _RMISegLoss(cfg, use_aux=True)
+        c = _common(cfg)
+        self.class_weight = c["class_weight"]
+        self.ignore_index = c["ignore_index"]
+        self.scale_weight = cfg.get("loss.params.ms_scale_weight",
+                                    default=0.05)
+
+    def __call__(self, key, outputs, targets, with_embed=True, bank=None):
+        from contrastiveseg_tpu.losses.ce import cross_entropy
+
+        loss, metrics = self.rmi(key, outputs, targets)
+        for k in ("pred_05x", "pred_10x"):
+            if k in outputs:
+                loss = loss + self.scale_weight * cross_entropy(
+                    outputs[k], targets, self.class_weight, self.ignore_index
+                )
+        metrics["loss"] = loss
+        return loss, metrics
+
+
+@LOSSES.register("ms_fs_aux_rmi_loss")
+def _ms_aux_rmi(cfg):
+    return _MsAuxRMILoss(cfg)
+
+
+@LOSSES.register("segfix_loss")
+def _segfix(cfg):
+    from contrastiveseg_tpu.losses.segfix import SegFixLoss
+
+    return SegFixLoss(
+        num_directions=cfg.get("data.dt_num_classes", default=8),
+        mask_threshold=cfg.get("loss.params.mask_threshold", default=0.5),
+        mask_weight=cfg.get("loss.params.mask_weight", default=1.0),
+        direction_weight=cfg.get("loss.params.direction_weight", default=1.0),
+    )
+
+
 def build_loss(cfg):
     """LossManager.get_seg_loss equivalent (loss_manager.py:45-68)."""
     return LOSSES.build(cfg.get("loss.loss_type"), cfg)

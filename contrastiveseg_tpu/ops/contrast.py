@@ -83,26 +83,42 @@ def hard_anchor_sample(
     pred_is_c = predict[:, None, :] == cls[None, :, None]
     hard_mask = member & ~pred_is_c
     easy_mask = member & pred_is_c
-    num_hard = jnp.sum(hard_mask, axis=-1)  # [B, C]
-    num_easy = jnp.sum(easy_mask, axis=-1)
+
+    # Sample-without-replacement: rank member pixels by uniform scores.
+    # approx_max_k (TPU-native partial reduction) instead of the sort-based
+    # exact top_k (~10ms/step); with iid uniform scores any recalled subset
+    # is still a uniform random subset.  It can return masked entries when
+    # a pool is small and clustered, so selections are revalidated against
+    # the masks, compacted valid-first, and the pool sizes capped by the
+    # actually-recalled counts before the keep rules run.
+    khard, keasy = jax.random.split(key)
+    sh = jnp.where(hard_mask, jax.random.uniform(khard, (B, C, N)), _NEG_INF)
+    se = jnp.where(easy_mask, jax.random.uniform(keasy, (B, C, N)), _NEG_INF)
+    _, hard_idx = jax.lax.approx_max_k(sh, V)  # [B, C, V] pixel indices
+    _, easy_idx = jax.lax.approx_max_k(se, V)
+
+    def _revalidate(idx, mask):
+        sel_ok = jnp.take_along_axis(mask, idx, axis=-1)
+        order = jnp.argsort(~sel_ok, axis=-1, stable=True)
+        return (
+            jnp.take_along_axis(idx, order, axis=-1),
+            jnp.sum(sel_ok, axis=-1),
+        )
+
+    hard_idx, num_hard = _revalidate(hard_idx, hard_mask)
+    easy_idx, num_easy = _revalidate(easy_idx, easy_mask)
 
     # Keep-count rules (loss_contrast.py:66-77).  Slot qualification
     # guarantees num_hard + num_easy = count > max_views >= n_view, so the
-    # reference's unreachable else-branch stays unreachable.
+    # reference's unreachable else-branch stays unreachable (up to
+    # approximate-recall slack, handled by the final clip).
     half = n_view // 2
     both = (2 * num_hard >= n_view) & (2 * num_easy >= n_view)
     hard_rich = 2 * num_hard >= n_view
     num_hard_keep = jnp.where(
         both, half, jnp.where(hard_rich, n_view - num_easy, num_hard)
     )
-    num_hard_keep = jnp.clip(num_hard_keep, 0, n_view)
-
-    # Sample-without-replacement: rank member pixels by uniform scores.
-    khard, keasy = jax.random.split(key)
-    sh = jnp.where(hard_mask, jax.random.uniform(khard, (B, C, N)), _NEG_INF)
-    se = jnp.where(easy_mask, jax.random.uniform(keasy, (B, C, N)), _NEG_INF)
-    _, hard_idx = jax.lax.top_k(sh, V)  # [B, C, V] pixel indices
-    _, easy_idx = jax.lax.top_k(se, V)
+    num_hard_keep = jnp.clip(num_hard_keep, 0, jnp.minimum(n_view, num_hard))
 
     # view v takes hard_idx[v] while v < num_hard_keep, else easy pool.
     v_ids = jnp.arange(V)
@@ -111,7 +127,14 @@ def hard_anchor_sample(
     easy_take = jnp.take_along_axis(easy_idx, easy_pos, axis=-1)
     pix_idx = jnp.where(use_hard, hard_idx, easy_take)  # [B, C, V]
 
-    view_valid = (v_ids[None, None, :] < n_view) & slot_valid[..., None]
+    # A view is valid if within n_view AND covered by the recalled pools
+    # (approx_max_k may under-recall tiny clustered pools).
+    supply = num_hard_keep + num_easy
+    view_valid = (
+        (v_ids[None, None, :] < n_view)
+        & (v_ids[None, None, :] < supply[..., None])
+        & slot_valid[..., None]
+    )
 
     # Global flat pixel index per candidate, view-major like the reference's
     # unbind/cat ordering (irrelevant to the value, kept for testability).

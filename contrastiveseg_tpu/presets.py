@@ -172,6 +172,94 @@ PRESETS["cityscapes_deeplab_v3_contrast"] = _merge(_CITYSCAPES_BASE, _CONTRAST_B
     "loss": {"loss_type": "contrast_auxce_loss"},
 })
 
+# --- other datasets (reference configs/{ade20k,coco_stuff,pascal_context,lip}).
+_ADE20K_BASE = _merge(_CITYSCAPES_BASE, {
+    "dataset": "ade20k",
+    "data": {"num_classes": 150, "label_list": None,
+             "reduce_zero_label": True, "data_dir": "/data/ade20k"},
+    "train": {"batch_size": 16,
+              "data_transformer": {"size_mode": "fix_size",
+                                   "input_size": [520, 520],
+                                   "align_method": "only_pad",
+                                   "pad_mode": "random"}},
+    "val": {"data_transformer": {"size_mode": "diverse_size",
+                                 "align_method": "only_pad",
+                                 "fit_stride": 8}},
+    "train_trans": {"random_crop": {"crop_size": [520, 520]},
+                    "random_resize": {"scale_range": [0.5, 2.0]}},
+    "loss": {"params": {"ce_weight": None}},
+})
+
+PRESETS["ade20k_hrnet_w48"] = _merge(_ADE20K_BASE, {
+    "network": {"model_name": "hrnet_w48", "backbone": "hrnet48",
+                "stride": 4, "bf16": False},
+})
+PRESETS["ade20k_hrnet_w48_contrast"] = _merge(_ADE20K_BASE, _CONTRAST_BLOCK, {
+    "network": {"model_name": "hrnet_w48_contrast", "backbone": "hrnet48",
+                "stride": 4, "bf16": False},
+    "loss": {"loss_type": "contrast_ce_loss"},
+    "contrast": {"stride": 4},
+})
+
+_COCO_STUFF_BASE = _merge(_ADE20K_BASE, {
+    "dataset": "coco_stuff",
+    "data": {"num_classes": 171, "data_dir": "/data/coco_stuff"},
+})
+PRESETS["coco_stuff_hrnet_w48_contrast"] = _merge(
+    _COCO_STUFF_BASE, _CONTRAST_BLOCK, {
+        "network": {"model_name": "hrnet_w48_contrast",
+                    "backbone": "hrnet48", "stride": 4, "bf16": False},
+        "loss": {"loss_type": "contrast_ce_loss"},
+        "contrast": {"stride": 4},
+    })
+
+_PCONTEXT_BASE = _merge(_ADE20K_BASE, {
+    "dataset": "pascal_context",
+    "data": {"num_classes": 59, "data_dir": "/data/pascal_context"},
+})
+PRESETS["pascal_context_hrnet_w48_contrast"] = _merge(
+    _PCONTEXT_BASE, _CONTRAST_BLOCK, {
+        "network": {"model_name": "hrnet_w48_contrast",
+                    "backbone": "hrnet48", "stride": 4, "bf16": False},
+        "loss": {"loss_type": "contrast_ce_loss"},
+        "contrast": {"stride": 4},
+    })
+
+# LIP human parsing (CE2P): label + edge targets, hflip swaps L/R parts.
+PRESETS["lip_ce2p_ocrnet"] = _merge(_CITYSCAPES_BASE, {
+    "dataset": "lip",
+    "data": {"num_classes": 20, "label_list": None,
+             "reduce_zero_label": False, "data_dir": "/data/lip",
+             "loader": "lip"},
+    "train": {"batch_size": 32,
+              "data_transformer": {"size_mode": "fix_size",
+                                   "input_size": [473, 473],
+                                   "align_method": "only_pad"}},
+    "train_trans": {
+        "trans_seq": ["random_resize", "random_rotate", "random_crop",
+                      "random_hflip"],
+        "random_hflip": {"ratio": 0.5,
+                         "swap_pair": [[14, 15], [16, 17], [18, 19]]},
+        "random_rotate": {"ratio": 1.0, "rotate_degree": 30},
+        "random_crop": {"crop_size": [473, 473], "method": "random"},
+        "random_resize": {"ratio": 1.0, "scale_range": [0.75, 1.25],
+                          "aspect_range": [0.9, 1.1]},
+    },
+    "network": {"model_name": "ce2p_ocrnet",
+                "backbone": "resnet101_dilated8", "stride": 8,
+                "bf16": False,
+                "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+    "loss": {"loss_type": "fs_auxce_loss", "params": {"ce_weight": None}},
+})
+
+# SegFix offset training (configs/segfix/, H_SEGFIX.json).
+PRESETS["cityscapes_segfix_hrnet"] = _merge(_CITYSCAPES_BASE, {
+    "data": {"dt_num_classes": 8, "loader": "dt_offset"},
+    "network": {"model_name": "segfix_hrnet", "backbone": "hrnet48",
+                "stride": 4, "bf16": False},
+    "loss": {"loss_type": "segfix_loss", "params": {"ce_weight": None}},
+})
+
 # CPU-runnable smoke fixture (BASELINE.json config 1 on synthetic data).
 PRESETS["smoke_hrnet_w18"] = _merge(_CITYSCAPES_BASE, _CONTRAST_BLOCK, {
     "data": {"num_classes": 5, "synthetic": True,

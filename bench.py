@@ -168,7 +168,13 @@ def main() -> None:
         sys.exit(1)
 
     if args.dry:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # Host sitecustomize pins jax_platforms; env vars are too late.
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
         hw = (64, 128)
         batch = args.batch or 1
         steps = min(args.steps, 3)

@@ -36,6 +36,7 @@ class ContrastCELoss:
     include_class0: bool = True
     seg_loss_kind: str = "ce"  # ce | rmi | lovasz (contrast.use_rmi/use_lovasz)
     rmi_params: Optional[dict] = None
+    kernel: str = "auto"  # auto | pallas | stream (mem-queue InfoNCE impl)
 
     def __call__(
         self,
@@ -116,11 +117,25 @@ class ContrastCELoss:
                 key, embed.reshape(B, H * W, D), labels_s,
                 predict.reshape(B, H * W), self.spec,
             )
-            contrast = streaming_contrastive_loss(
-                anchors.feats, anchors.labels, anchors.valid,
-                jax.lax.stop_gradient(q_f), q_l, q_v,
-                self.spec.temperature, self.spec.base_temperature,
+            use_pallas = self.kernel == "pallas" or (
+                self.kernel == "auto" and jax.default_backend() == "tpu"
             )
+            if use_pallas:
+                from contrastiveseg_tpu.ops.contrast_pallas import (
+                    pallas_contrastive_loss,
+                )
+
+                contrast = pallas_contrastive_loss(
+                    anchors.feats, anchors.labels, anchors.valid,
+                    jax.lax.stop_gradient(q_f), q_l, q_v,
+                    self.spec.temperature, self.spec.base_temperature,
+                )
+            else:
+                contrast = streaming_contrastive_loss(
+                    anchors.feats, anchors.labels, anchors.valid,
+                    jax.lax.stop_gradient(q_f), q_l, q_v,
+                    self.spec.temperature, self.spec.base_temperature,
+                )
         else:
             contrast = pixel_contrast_loss(
                 key, embed, targets, predict, self.spec

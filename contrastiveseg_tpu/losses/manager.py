@@ -90,6 +90,7 @@ def _contrast(cfg, use_aux: bool):
         include_class0=cfg.get("contrast.include_class0", default=True),
         seg_loss_kind=kind,
         rmi_params=_rmi_params(cfg) if kind == "rmi" else None,
+        kernel=cfg.get("contrast.kernel", default="auto"),
         **_common(cfg),
     )
 

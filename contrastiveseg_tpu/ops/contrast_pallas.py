@@ -3,19 +3,16 @@
 The mem-variant contrast loss reduces a [max_samples, C*2*memory_size]
 similarity matrix (~[1024, 190k]) against label masks.  ops/contrast_stream
 expresses the streaming two-pass algorithm in jnp/lax.scan; this module is
-the hand-fused Pallas version — one kernel keeps the anchors pinned in
-VMEM, streams contrast blocks from HBM through the MXU, and fuses the mask
-construction, the online max/negative-sum rescaling and the positive
-log-prob reduction into the matmul epilogue, so each contrast element is
-read exactly twice (fwd) / once (bwd) with no intermediate HBM traffic.
+the hand-fused Pallas version — anchors pinned in VMEM, contrast blocks
+streamed from HBM through the MXU, with the mask construction, online
+max/negative-sum rescaling and positive log-prob reduction fused into the
+matmul epilogue, so each contrast element is read exactly twice (fwd) /
+once (bwd) with no intermediate HBM traffic.
 
-Grid layout: (2, K/BK) — phase 0 accumulates the running row max `m` and
-rescaled negative sum `ns` into VMEM scratch; phase 1 (same kernel,
-sequential grid on TPU) uses the finalized m/ns to accumulate the positive
-log-prob sum S1, the positive count P, and the backward helper
-T = sum_pos 1/(e_ij + ns).  The backward kernel replays the blocks once,
-building d/dlogits analytically and contracting with the contrast block on
-the MXU.  Value/grad equivalence vs the jnp paths is tested in
+Three small kernels (pass1 max/negsum, pass2 poslogprob, bwd dA), each a
+1-D grid over contrast blocks with VMEM scratch carrying the running
+reductions — split this way to stay inside the v5e VMEM budget (a fused
+two-phase variant exceeded it).  Value/grad equivalence vs the jnp paths:
 tests/test_contrast_pallas.py.
 
 Reference math: loss_contrast_mem.py:107-152 (see ops/contrast.py).
@@ -33,90 +30,78 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _fwd_kernel(
-    a_f_ref, a_l_ref, c_f_ref, c_l_ref, c_v_ref,  # inputs
-    m_ref, ns_ref, s1_ref, t_ref, p_ref,  # outputs [M, 1]
-    acc_m, acc_ns,  # VMEM scratch [M, 1]
-    *, temperature: float,
-):
-    phase = pl.program_id(0)
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
-
-    logits = jax.lax.dot_general(
-        a_f_ref[:], c_f_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * (1.0 / temperature)  # [M, BK]
-
-    same = a_l_ref[:] == c_l_ref[:].reshape(1, -1)  # [M, BK]
-    ok = (c_v_ref[:] != 0).reshape(1, -1)
-    pos = jnp.logical_and(same, ok)
-    neg = jnp.logical_and(jnp.logical_not(same), ok)
-
-    @pl.when(phase == 0)
-    def _():
-        @pl.when(j == 0)
-        def _():
-            acc_m[:] = jnp.full_like(acc_m, _NEG_INF)
-            acc_ns[:] = jnp.zeros_like(acc_ns)
-            p_ref[:] = jnp.zeros_like(p_ref)
-
-        masked = jnp.where(ok, logits, _NEG_INF)
-        blk_max = jnp.max(masked, axis=1, keepdims=True)  # [M, 1]
-        m_old = acc_m[:]
-        m_new = jnp.maximum(m_old, blk_max)
-        scale = jnp.exp(m_old - m_new)
-        e = jnp.where(ok, jnp.exp(logits - m_new), 0.0)
-        acc_ns[:] = acc_ns[:] * scale + jnp.sum(
-            jnp.where(neg, e, 0.0), axis=1, keepdims=True
-        )
-        acc_m[:] = m_new
-        p_ref[:] = p_ref[:] + jnp.sum(
-            pos.astype(jnp.float32), axis=1, keepdims=True
-        )
-
-        @pl.when(j == nj - 1)
-        def _():
-            m_ref[:] = acc_m[:]
-            ns_ref[:] = acc_ns[:]
-
-    @pl.when(phase == 1)
-    def _():
-        @pl.when(j == 0)
-        def _():
-            s1_ref[:] = jnp.zeros_like(s1_ref)
-            t_ref[:] = jnp.zeros_like(t_ref)
-
-        m = acc_m[:]
-        ns = acc_ns[:]
-        sh = logits - m
-        e = jnp.exp(sh)
-        denom = e + ns + 1e-30
-        s1_ref[:] = s1_ref[:] + jnp.sum(
-            jnp.where(pos, sh - jnp.log(denom), 0.0), axis=1, keepdims=True
-        )
-        t_ref[:] = t_ref[:] + jnp.sum(
-            jnp.where(pos, 1.0 / denom, 0.0), axis=1, keepdims=True
-        )
-
-
-def _bwd_kernel(
-    a_f_ref, a_l_ref, c_f_ref, c_l_ref, c_v_ref, m_ref, ns_ref, t_ref, w_ref,
-    da_ref,  # output [M, D]
-    *, temperature: float,
-):
-    j = pl.program_id(0)
-
-    logits = jax.lax.dot_general(
-        a_f_ref[:], c_f_ref[:],
+def _logits(a_ref, c_ref, temperature):
+    return jax.lax.dot_general(
+        a_ref[:], c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * (1.0 / temperature)
-    same = a_l_ref[:] == c_l_ref[:].reshape(1, -1)
-    ok = (c_v_ref[:] != 0).reshape(1, -1)
-    pos = jnp.logical_and(same, ok)
-    neg = jnp.logical_and(jnp.logical_not(same), ok)
+
+
+def _masks(a_l_ref, c_l_ref, c_v_ref):
+    # c_l / c_v blocks are laid out [8, BK] lane-major (8-replicated rows:
+    # Mosaic needs sublane multiples of 8, and a [BK, 1] -> [1, BK]
+    # reshape makes its register allocator spill 200+MB).  Row 0 is used.
+    same = a_l_ref[:] == c_l_ref[0:1, :]  # [M, 1] vs [1, BK] -> [M, BK]
+    ok = c_v_ref[0:1, :] != 0
+    return same, ok
+
+
+def _pass1_kernel(a_f_ref, a_l_ref, c_f_ref, c_l_ref, c_v_ref,
+                  m_ref, ns_ref, p_ref, *, temperature):
+    j = pl.program_id(0)
+    logits = _logits(a_f_ref, c_f_ref, temperature)
+    same, ok = _masks(a_l_ref, c_l_ref, c_v_ref)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        ns_ref[:] = jnp.zeros_like(ns_ref)
+        p_ref[:] = jnp.zeros_like(p_ref)
+
+    masked = jnp.where(ok, logits, _NEG_INF)
+    m_old = m_ref[:]
+    m_new = jnp.maximum(m_old, jnp.max(masked, axis=1, keepdims=True))
+    e = jnp.where(ok & ~same, jnp.exp(logits - m_new), 0.0)
+    ns_ref[:] = ns_ref[:] * jnp.exp(m_old - m_new) + jnp.sum(
+        e, axis=1, keepdims=True
+    )
+    m_ref[:] = m_new
+    p_ref[:] = p_ref[:] + jnp.sum(
+        (same & ok).astype(jnp.float32), axis=1, keepdims=True
+    )
+
+
+def _pass2_kernel(a_f_ref, a_l_ref, c_f_ref, c_l_ref, c_v_ref, m_ref, ns_ref,
+                  s1_ref, t_ref, *, temperature):
+    j = pl.program_id(0)
+    logits = _logits(a_f_ref, c_f_ref, temperature)
+    same, ok = _masks(a_l_ref, c_l_ref, c_v_ref)
+    pos = same & ok
+
+    @pl.when(j == 0)
+    def _():
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        t_ref[:] = jnp.zeros_like(t_ref)
+
+    sh = logits - m_ref[:]
+    e = jnp.exp(sh)
+    denom = e + ns_ref[:] + 1e-30
+    s1_ref[:] = s1_ref[:] + jnp.sum(
+        jnp.where(pos, sh - jnp.log(denom), 0.0), axis=1, keepdims=True
+    )
+    t_ref[:] = t_ref[:] + jnp.sum(
+        jnp.where(pos, 1.0 / denom, 0.0), axis=1, keepdims=True
+    )
+
+
+def _bwd_kernel(a_f_ref, a_l_ref, c_f_ref, c_l_ref, c_v_ref, m_ref, ns_ref,
+                t_ref, w_ref, da_ref, *, temperature):
+    j = pl.program_id(0)
+    logits = _logits(a_f_ref, c_f_ref, temperature)
+    same, ok = _masks(a_l_ref, c_l_ref, c_v_ref)
+    pos = same & ok
+    neg = (~same) & ok
 
     e = jnp.exp(logits - m_ref[:])
     denom = e + ns_ref[:] + 1e-30
@@ -146,6 +131,34 @@ def _pad_contrast(c_f, c_l, c_v, bk):
     return c_f, c_l, c_v, nj
 
 
+def _rep8(x, nj, block_k):
+    """[nj*block_k] -> [nj*8, block_k] with each row block replicated 8x."""
+    r = x.reshape(nj, 1, block_k)
+    return jnp.broadcast_to(r, (nj, 8, block_k)).reshape(nj * 8, block_k)
+
+
+def _common_specs(M, D, block_k):
+    a_specs = [
+        pl.BlockSpec((M, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_k, D), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block_k), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block_k), lambda j: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    mvec = pl.BlockSpec((M, 1), lambda j: (0, 0), memory_space=pltpu.VMEM)
+    return a_specs, mvec
+
+
+_INTERPRET = None
+
+
+def _interpret() -> bool:
+    global _INTERPRET
+    if _INTERPRET is None:
+        _INTERPRET = jax.default_backend() != "tpu"
+    return _INTERPRET
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def pallas_contrastive_loss(
     a_f: jnp.ndarray,  # [M, D] fp32
@@ -156,50 +169,39 @@ def pallas_contrastive_loss(
     c_v: jnp.ndarray,  # [K] bool
     temperature: float,
     base_temperature: float,
-    block_k: int = 2048,
+    block_k: int = 1024,
 ) -> jnp.ndarray:
     loss, _ = _pallas_fwd(a_f, a_l, a_v, c_f, c_l, c_v, temperature,
                           base_temperature, block_k)
     return loss
 
 
-def _run_fwd_kernel(a_f, a_l, c_f, c_l, c_v, temperature, block_k):
-    M, D = a_f.shape
-    c_f, c_l, c_v, nj = _pad_contrast(c_f, c_l, c_v, block_k)
-    out_shape = [jax.ShapeDtypeStruct((M, 1), jnp.float32)] * 5
-    grid = (2, nj)
-    kernel = functools.partial(_fwd_kernel, temperature=temperature)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((M, D), lambda p, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 1), lambda p, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, D), lambda p, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, 1), lambda p, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, 1), lambda p, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((M, 1), lambda p, j: (0, 0), memory_space=pltpu.VMEM)
-        ] * 5,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((M, 1), jnp.float32),
-            pltpu.VMEM((M, 1), jnp.float32),
-        ],
-        interpret=jax.default_backend() != "tpu",
-    )(a_f, a_l.reshape(M, 1), c_f, c_l.reshape(-1, 1),
-      c_v.astype(jnp.int32).reshape(-1, 1))
-
-
 def _pallas_fwd(a_f, a_l, a_v, c_f, c_l, c_v, temperature, base_temperature,
                 block_k):
-    m, ns, s1, t, p = _run_fwd_kernel(
-        a_f, a_l, c_f, c_l, c_v, temperature, block_k
-    )
+    M, D = a_f.shape
+    c_fp, c_lp, c_vp, nj = _pad_contrast(c_f, c_l, c_v, block_k)
+    a_specs, mvec = _common_specs(M, D, block_k)
+    ins = (a_f, a_l.reshape(M, 1), c_fp,
+           _rep8(c_lp, nj, block_k), _rep8(c_vp.astype(jnp.int32), nj, block_k))
+
+    m, ns, p = pl.pallas_call(
+        functools.partial(_pass1_kernel, temperature=temperature),
+        grid=(nj,),
+        in_specs=a_specs,
+        out_specs=[mvec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((M, 1), jnp.float32)] * 3,
+        interpret=_interpret(),
+    )(*ins)
+
+    s1, t = pl.pallas_call(
+        functools.partial(_pass2_kernel, temperature=temperature),
+        grid=(nj,),
+        in_specs=a_specs + [mvec, mvec],
+        out_specs=[mvec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((M, 1), jnp.float32)] * 2,
+        interpret=_interpret(),
+    )(*ins, m, ns)
+
     m, ns, s1, t, p = (x[:, 0] for x in (m, ns, s1, t, p))
     row_ok = a_v & (p > 0)
     R = jnp.maximum(jnp.sum(row_ok), 1)
@@ -218,31 +220,18 @@ def _pallas_bwd(temperature, base_temperature, block_k, res, g):
         0.0,
     ).astype(jnp.float32)
     c_fp, c_lp, c_vp, nj = _pad_contrast(c_f, c_l, c_v, block_k)
-    kernel = functools.partial(_bwd_kernel, temperature=temperature)
+    a_specs, mvec = _common_specs(M, D, block_k)
     da = pl.pallas_call(
-        kernel,
+        functools.partial(_bwd_kernel, temperature=temperature),
         grid=(nj,),
-        in_specs=[
-            pl.BlockSpec((M, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, D), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, 1), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_k, 1), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=a_specs + [mvec] * 4,
         out_specs=pl.BlockSpec((M, D), lambda j: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, D), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret(),
     )(
-        a_f, a_l.reshape(M, 1), c_fp, c_lp.reshape(-1, 1),
-        c_vp.astype(jnp.int32).reshape(-1, 1),
+        a_f, a_l.reshape(M, 1), c_fp,
+        _rep8(c_lp, nj, block_k), _rep8(c_vp.astype(jnp.int32), nj, block_k),
         m.reshape(M, 1), ns.reshape(M, 1), t.reshape(M, 1), w.reshape(M, 1),
     )
     return (

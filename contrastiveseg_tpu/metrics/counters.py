@@ -1,0 +1,56 @@
+"""Direction-task accuracy counters for SegFix evaluation.
+
+Re-implements SimpleCounterRunningScore and MultiLabelRunningScore
+(/root/reference/lib/metrics/running_score.py:22-117): plain accuracy over
+valid pixels, and multi-label (8-direction one-vs-rest) accuracy — both
+reducible across hosts by summing the counters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class SimpleCounterRunningScore:
+    def __init__(self):
+        self.correct = 0
+        self.total = 0
+
+    def update(self, pred: np.ndarray, gt: np.ndarray,
+               valid: np.ndarray | None = None) -> None:
+        if valid is None:
+            valid = gt >= 0
+        self.correct += int(((pred == gt) & valid).sum())
+        self.total += int(valid.sum())
+
+    def get_mean_acc(self) -> float:
+        return self.correct / max(self.total, 1)
+
+    def reset(self) -> None:
+        self.correct = self.total = 0
+
+
+class MultiLabelRunningScore:
+    """Accuracy of multi-hot direction predictions: a prediction counts as
+    correct when it hits any of the ground-truth directions."""
+
+    def __init__(self):
+        self.correct = 0
+        self.total = 0
+
+    def update(self, pred_idx: np.ndarray, gt_multihot: np.ndarray,
+               valid: np.ndarray | None = None) -> None:
+        """pred_idx [N] int; gt_multihot [N, D] {0,1}."""
+        if valid is None:
+            valid = gt_multihot.sum(-1) > 0
+        hit = np.take_along_axis(
+            gt_multihot, pred_idx[:, None], axis=-1
+        )[:, 0] > 0
+        self.correct += int((hit & valid).sum())
+        self.total += int(valid.sum())
+
+    def get_mean_acc(self) -> float:
+        return self.correct / max(self.total, 1)
+
+    def reset(self) -> None:
+        self.correct = self.total = 0

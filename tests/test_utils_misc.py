@@ -1,0 +1,68 @@
+"""Small utils: meters, IO helpers, flops, counters, norms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contrastiveseg_tpu.metrics.counters import (
+    MultiLabelRunningScore,
+    SimpleCounterRunningScore,
+)
+from contrastiveseg_tpu.utils.flops import conv2d_flops, xla_flops
+from contrastiveseg_tpu.utils.io_helpers import JsonHelper, MaskHelper
+from contrastiveseg_tpu.utils.meters import AverageMeter, Timer
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0 and m.count == 2
+
+
+def test_simple_counter():
+    s = SimpleCounterRunningScore()
+    pred = np.array([0, 1, 2, 3])
+    gt = np.array([0, 1, 0, -1])
+    s.update(pred, gt)
+    assert abs(s.get_mean_acc() - 2 / 3) < 1e-9
+
+
+def test_multilabel_counter():
+    s = MultiLabelRunningScore()
+    pred = np.array([0, 1])
+    gm = np.array([[1, 0, 1], [1, 0, 0]])
+    s.update(pred, gm)
+    assert s.get_mean_acc() == 0.5
+
+
+def test_flops():
+    assert conv2d_flops(8, 8, 4, 4, 3) == 2 * 8 * 8 * 4 * 4 * 9
+    f = xla_flops(lambda a, b: a @ b, jnp.ones((64, 64)), jnp.ones((64, 64)))
+    assert f >= 2 * 64 * 64 * 64 * 0.9  # at least the matmul
+
+
+def test_mask_helper_and_json(tmp_path):
+    onehot = MaskHelper.label_to_onehot(np.array([[0, 2], [-1, 1]]), 3)
+    assert onehot[0, 0, 0] == 1 and onehot[1, 0].sum() == 0
+    p = str(tmp_path / "x.json")
+    JsonHelper.save_file({"a": 1}, p)
+    assert JsonHelper.load_file(p) == {"a": 1}
+
+
+def test_norms_forward():
+    from contrastiveseg_tpu.models.norms import FRN, SwitchableNorm
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 8, 8, 4), dtype=np.float32)
+    )
+    frn = FRN()
+    v = frn.init(jax.random.key(0), x)
+    y = frn.apply(v, x)
+    assert y.shape == x.shape
+
+    sn = SwitchableNorm()
+    v = sn.init(jax.random.key(1), x, train=True)
+    y, mut = sn.apply(v, x, train=True, mutable=["batch_stats"])
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()

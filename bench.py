@@ -23,7 +23,8 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
 
-def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool):
+def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
+                remat: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -41,6 +42,7 @@ def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool):
     )
     cfg = get_preset(preset)
     cfg = cfg.updated("network.bf16", bf16)
+    cfg = cfg.updated("network.remat", remat)
     cfg = cfg.updated("contrast.warmup_iters", 0)  # bench the full loss
 
     model = build_model(cfg)
@@ -93,10 +95,11 @@ def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool):
     return state, step_fn, batch_data
 
 
-def run(batch: int, hw: tuple[int, int], steps: int, bf16: bool, memory: bool):
+def run(batch: int, hw: tuple[int, int], steps: int, bf16: bool,
+        memory: bool, remat: bool = False):
     import jax
 
-    state, step_fn, batch_data = build_bench(batch, hw, bf16, memory)
+    state, step_fn, batch_data = build_bench(batch, hw, bf16, memory, remat)
     # Warmup / compile.  NOTE: device_get (value fetch), not
     # block_until_ready — the axon remote-TPU relay acks readiness before
     # execution completes, which once inflated this bench 30x.
@@ -120,6 +123,8 @@ def main() -> None:
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--no-memory", action="store_true")
     ap.add_argument("--record-baseline", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize HRNet modules (bigger batches)")
     ap.add_argument("--worker", action="store_true",
                     help="(internal) run the measurement in-process")
     args = ap.parse_args()
@@ -193,7 +198,7 @@ def main() -> None:
     last_err = None
     for b in [batch, max(batch // 2, 1), max(batch // 4, 1), 1]:
         try:
-            ips, loss = run(b, hw, steps, bf16, memory)
+            ips, loss = run(b, hw, steps, bf16, memory, args.remat)
             batch = b
             break
         except Exception as e:  # noqa: BLE001

@@ -95,23 +95,79 @@ def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
     return state, step_fn, batch_data
 
 
+# Peak dense TFLOP/s per chip (bf16 / fp32) by device kind, for MFU.
+# Sources: public TPU spec sheets; CPU has no meaningful peak here.
+_PEAK_TFLOPS = {
+    "TPU v4": (275.0, 137.5),
+    "TPU v5 lite": (197.0, 98.5),
+    "TPU v5e": (197.0, 98.5),
+    "TPU v5p": (459.0, 229.5),
+    "TPU v6e": (918.0, 459.0),
+    "TPU v6 lite": (918.0, 459.0),
+}
+
+
+def _peak_tflops(bf16: bool):
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for k, (p_bf16, p_fp32) in _PEAK_TFLOPS.items():
+        if kind.lower().startswith(k.lower()):
+            return (p_bf16 if bf16 else p_fp32), kind
+    if "tpu" in kind.lower() or "axon" in kind.lower():
+        # Unknown TPU kind: assume v5e-class (conservative for newer chips).
+        return (197.0 if bf16 else 98.5), kind
+    return None, kind
+
+
 def run(batch: int, hw: tuple[int, int], steps: int, bf16: bool,
         memory: bool, remat: bool = False):
     import jax
 
     state, step_fn, batch_data = build_bench(batch, hw, bf16, memory, remat)
-    # Warmup / compile.  NOTE: device_get (value fetch), not
-    # block_until_ready — the axon remote-TPU relay acks readiness before
-    # execution completes, which once inflated this bench 30x.
+    # AOT-compile exactly once, so the executable also hands us its cost
+    # analysis (utils/flops.xla_flops idea; VERDICT.md weak-1: anchor the
+    # bench in MFU, not vs-self).
+    step_flops = None
+    try:
+        compiled = step_fn.lower(state, batch_data).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", 0.0)) or None
+        step_fn = compiled
+    except Exception:  # noqa: BLE001 — fall back to plain jit dispatch
+        pass
+
+    # Warmup.  NOTE: device_get (value fetch), not block_until_ready — the
+    # axon remote-TPU relay acks readiness before execution completes,
+    # which once inflated this bench 30x.
     state, metrics = step_fn(state, batch_data)
     float(jax.device_get(metrics["loss"]))
+
     t0 = time.time()
     for _ in range(steps):
         state, metrics = step_fn(state, batch_data)
     float(jax.device_get(metrics["loss"]))
     dt = time.time() - t0
     n_chips = jax.device_count()
-    return batch * steps / dt / n_chips, float(metrics["loss"])
+    perf = {
+        "images_per_sec_per_chip": batch * steps / dt / n_chips,
+        "loss": float(metrics["loss"]),
+        "step_tflops": round(step_flops / 1e12, 3) if step_flops else None,
+        "tflops_per_sec_per_chip": (
+            round(step_flops * steps / dt / n_chips / 1e12, 2)
+            if step_flops else None
+        ),
+    }
+    peak, kind = _peak_tflops(bf16)
+    perf["device_kind"] = kind
+    if step_flops and peak:
+        perf["mfu"] = round(step_flops * steps / dt / n_chips / 1e12 / peak, 4)
+        perf["peak_tflops"] = peak
+    else:
+        perf["mfu"] = None
+    return perf
 
 
 def main() -> None:
@@ -198,7 +254,7 @@ def main() -> None:
     last_err = None
     for b in [batch, max(batch // 2, 1), max(batch // 4, 1), 1]:
         try:
-            ips, loss = run(b, hw, steps, bf16, memory, args.remat)
+            perf = run(b, hw, steps, bf16, memory, args.remat)
             batch = b
             break
         except Exception as e:  # noqa: BLE001
@@ -208,6 +264,7 @@ def main() -> None:
     else:
         raise last_err
 
+    ips = perf["images_per_sec_per_chip"]
     vs_baseline = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -227,6 +284,12 @@ def main() -> None:
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": vs_baseline,
+        "mfu": perf["mfu"],
+        "step_tflops": perf["step_tflops"],
+        "tflops_per_sec_per_chip": perf["tflops_per_sec_per_chip"],
+        "device_kind": perf["device_kind"],
+        "peak_tflops": perf.get("peak_tflops"),
+        "batch": batch,
     }))
 
 

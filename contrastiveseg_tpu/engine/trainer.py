@@ -54,6 +54,21 @@ class Trainer:
             jnp.zeros((1, h, w, 3), jnp.float32),
             train=True,
         )
+        # Pretrained weights (torch-imported via tools/import_torch_ckpt.py;
+        # reference counterpart: ModuleHelper.load_model, module_helper.py:124).
+        pretrained = cfg.get("network.pretrained", default=None)
+        if pretrained:
+            from contrastiveseg_tpu.utils.torch_import import load_variables
+
+            loaded = load_variables(pretrained)
+            variables = dict(variables)
+            for col in ("params", "batch_stats"):
+                if col in loaded:
+                    variables[col] = jax.tree.map(
+                        lambda cur, new: jnp.asarray(new, cur.dtype),
+                        variables[col], loaded[col],
+                    )
+            self.log.info(f"loaded pretrained weights from {pretrained}")
         tx = build_optimizer(cfg, variables["params"])
         from contrastiveseg_tpu.engine.state import TrainState
         from contrastiveseg_tpu.ops.queue import init_memory_bank

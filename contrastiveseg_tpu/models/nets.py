@@ -410,14 +410,37 @@ def _spatial_ocrnet(cfg) -> nn.Module:
     )
 
 
+def _label_onehot(labels: jnp.ndarray, num_channels: int) -> jnp.ndarray:
+    """label_to_onehot (spatial_ocr_block.py:22-34): [B,h,w] -> [B,h,w,K].
+
+    Ignore pixels (< 0) land in the LAST channel — the reference scatters
+    ``gt[gt == -1] = num_classes`` into a K+1-channel one-hot; callers pick
+    ``num_channels`` to match their proxy count.
+    """
+    lab = jnp.where(labels < 0, num_channels - 1,
+                    jnp.clip(labels, 0, num_channels - 1))
+    return (lab[..., None] == jnp.arange(num_channels)).astype(jnp.float32)
+
+
 class IdealSpatialOCRNet(nn.Module):
-    """Oracle OCR: context gathered with ground-truth one-hot maps
-    (reference nets/ideal_ocrnet.py:19-263).  `gt_labels` must be passed;
-    variants: gather (gt context only), distribute (gt attention only),
-    both."""
+    """Oracle OCR family (reference nets/ideal_ocrnet.py:19-263).
+
+    Five variants, distinguished by where ground truth replaces learned
+    attention (`gt_labels` required for all):
+      * ``spatial``   — GT gather + GT distribute (IdealSpatialOCRNet);
+      * ``spatial_b`` — + GT background context (IdealSpatialOCRNetB);
+      * ``spatial_c`` — GT background context ONLY, no object context
+        (IdealSpatialOCRNetC, use_oc=False);
+      * ``gather``    — GT gather, learned distribute (IdealGatherOCRNet);
+      * ``distribute``— learned gather, GT distribute (IdealDistributeOCRNet).
+
+    GT-gathered contexts carry ``num_classes + 1`` proxies (the extra slot
+    is the ignore-label bucket, label_to_onehot semantics); the learned
+    gather keeps ``num_classes``.
+    """
 
     num_classes: int
-    variant: str = "both"  # both | gather | distribute
+    variant: str = "spatial"  # spatial | spatial_b | spatial_c | gather | distribute
     arch: str = "resnet101_dilated8"
     upsample_out: bool = True
     dtype: Any = jnp.float32
@@ -428,41 +451,51 @@ class IdealSpatialOCRNet(nn.Module):
         from contrastiveseg_tpu.models.ocr import SpatialGather, SpatialOCR
         from contrastiveseg_tpu.ops.resize import scale_target_nearest
 
+        gather_gt = self.variant in ("spatial", "spatial_b", "spatial_c", "gather")
+        distribute_gt = self.variant in ("spatial", "spatial_b", "spatial_c",
+                                         "distribute")
+        use_bg = self.variant in ("spatial_b", "spatial_c")
+        use_oc = self.variant != "spatial_c"
+
         in_h, in_w = x.shape[1], x.shape[2]
         feats = ResNet(RESNET_SPECS[self.arch], dtype=self.dtype, name="backbone")(
             x.astype(self.dtype), train
         )
         c3, c4 = feats[-2], feats[-1]
+        # DSN aux head (ideal_ocrnet.py:50-55): 3x3 + BNReLU + drop + 1x1.
         aux = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
                      name="dsn_conv")(c3, train)
+        aux = nn.Dropout(0.05, deterministic=not train, name="dsn_drop")(aux)
         aux = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
                       name="dsn_cls")(aux.astype(jnp.float32))
         f = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
                    name="conv3x3")(c4, train)
-        # GT one-hot at feature resolution; L1-normalized like the
-        # reference's label_to_onehot + F.normalize(p=1) gather.
         h, w = f.shape[1], f.shape[2]
-        if gt_labels is None:
-            probs = aux  # degrade to predicted context
-            context = SpatialGather(name="ocr_gather")(f, probs)
-        else:
+
+        lab = None
+        if gt_labels is not None:
             lab = scale_target_nearest(gt_labels, (h, w))
-            onehot = (
-                jnp.clip(lab, 0, self.num_classes - 1)[..., None]
-                == jnp.arange(self.num_classes)
-            ) & (lab >= 0)[..., None]
-            onehot = onehot.astype(jnp.float32).reshape(
-                f.shape[0], h * w, self.num_classes
-            )
-            onehot = onehot / jnp.maximum(
-                jnp.sum(onehot, axis=1, keepdims=True), 1e-12
-            )
+
+        if gather_gt and lab is not None:
+            # GT gather: L1-normalized one-hot over spatial (K+1 proxies,
+            # SpatialGather_Module use_gt path, spatial_ocr_block.py:50-59).
+            onehot = _label_onehot(lab, self.num_classes + 1)
+            weights = onehot.reshape(f.shape[0], h * w, -1)
+            weights = weights / jnp.maximum(
+                jnp.sum(weights, axis=1, keepdims=True), 1e-12)
             context = jnp.einsum(
-                "bnk,bnc->bkc", onehot, f.reshape(f.shape[0], h * w, -1),
+                "bnk,bnc->bkc", weights, f.reshape(f.shape[0], h * w, -1),
                 preferred_element_type=jnp.float32,
             ).astype(f.dtype)
+        else:
+            context = SpatialGather(name="ocr_gather")(f, aux)
+
+        gt_sim = None
+        if distribute_gt and lab is not None:
+            gt_sim = _label_onehot(lab, context.shape[1])
         f = SpatialOCR(key_channels=256, out_channels=512, dropout=0.05,
-                       dtype=self.dtype, name="ocr_distri")(f, context, train)
+                       use_bg=use_bg, use_oc=use_oc, dtype=self.dtype,
+                       name="ocr_distri")(f, context, train, gt_sim=gt_sim)
         seg = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
                       name="cls")(f.astype(jnp.float32))
         if self.upsample_out:
@@ -553,9 +586,9 @@ def _ideal_variant(variant: str):
 
 
 for _name, _v in [
-    ("ideal_spatial_ocrnet", "both"),
-    ("ideal_spatial_ocrnet_b", "both"),
-    ("ideal_spatial_ocrnet_c", "both"),
+    ("ideal_spatial_ocrnet", "spatial"),
+    ("ideal_spatial_ocrnet_b", "spatial_b"),
+    ("ideal_spatial_ocrnet_c", "spatial_c"),
     ("ideal_gather_ocrnet", "gather"),
     ("ideal_distribute_ocrnet", "distribute"),
 ]:

@@ -41,9 +41,16 @@ class SpatialGather(nn.Module):
 
 
 class ObjectAttention(nn.Module):
-    """Pixel-to-object attention (ObjectAttentionBlock2D)."""
+    """Pixel-to-object attention (ObjectAttentionBlock2D).
+
+    ``gt_sim`` (the oracle path, spatial_ocr_block.py:186-192) replaces the
+    learned query-key similarity with an L1-normalized ground-truth one-hot
+    map; ``use_bg`` additionally returns the complementary background
+    context through the SAME f_up projection (:207-214).
+    """
 
     key_channels: int
+    use_bg: bool = False
     dtype: Any = jnp.float32
 
     def _double_conv(self, name: str, x, train):
@@ -56,8 +63,10 @@ class ObjectAttention(nn.Module):
         return x
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, proxy: jnp.ndarray, train: bool) -> jnp.ndarray:
-        # x: [B, H, W, C] pixels; proxy: [B, K, C] object regions.
+    def __call__(self, x: jnp.ndarray, proxy: jnp.ndarray, train: bool,
+                 gt_sim: jnp.ndarray = None):
+        # x: [B, H, W, C] pixels; proxy: [B, K, C] object regions;
+        # gt_sim: [B, H, W, K] one-hot (unnormalized) oracle similarity.
         B, H, W, C = x.shape
         query = self._double_conv("f_pixel", x, train)  # [B, H, W, key]
         key = self._double_conv("f_object", proxy[:, :, None, :], train)[:, :, 0]
@@ -65,16 +74,30 @@ class ObjectAttention(nn.Module):
                         name="f_down")(proxy[:, :, None, :])[:, :, 0]
         value = ConvBNAct(dtype=self.dtype, name="f_down_bn")(value[:, :, None, :], train)[:, :, 0]
 
-        sim = jnp.einsum(
-            "bhwd,bkd->bhwk", query, key, preferred_element_type=jnp.float32
-        ) * (self.key_channels ** -0.5)
-        sim = jax.nn.softmax(sim, axis=-1)
-        ctx = jnp.einsum(
-            "bhwk,bkd->bhwd", sim.astype(value.dtype), value,
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
-        ctx = nn.Conv(C, (1, 1), dtype=self.dtype, name="f_up")(ctx)
-        ctx = ConvBNAct(dtype=self.dtype, name="f_up_bn")(ctx, train)
+        f_up = nn.Conv(C, (1, 1), dtype=self.dtype, name="f_up")
+        f_up_bn = ConvBNAct(dtype=self.dtype, name="f_up_bn")
+
+        def distribute(sim):
+            ctx = jnp.einsum(
+                "bhwk,bkd->bhwd", sim.astype(value.dtype), value,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            return f_up_bn(f_up(ctx), train)
+
+        if gt_sim is not None:
+            sim = gt_sim / jnp.maximum(
+                jnp.sum(gt_sim, axis=-1, keepdims=True), 1e-12)
+        else:
+            sim = jnp.einsum(
+                "bhwd,bkd->bhwk", query, key, preferred_element_type=jnp.float32
+            ) * (self.key_channels ** -0.5)
+            sim = jax.nn.softmax(sim, axis=-1)
+        ctx = distribute(sim)
+        if self.use_bg:
+            assert gt_sim is not None, "use_bg requires the oracle gt_sim"
+            bg = 1.0 - gt_sim
+            bg = bg / jnp.maximum(jnp.sum(bg, axis=-1, keepdims=True), 1e-12)
+            return ctx, distribute(bg)
         return ctx
 
 
@@ -92,18 +115,33 @@ class ConvBNAct(nn.Module):
 
 
 class SpatialOCR(nn.Module):
-    """ObjectAttention + concat + 1x1 conv projection + dropout."""
+    """ObjectAttention + concat + 1x1 conv projection + dropout.
+
+    ``use_bg``/``use_oc`` mirror SpatialOCR_Module (spatial_ocr_block.py:
+    237-310): with a ground-truth one-hot map the concat becomes
+    [context, bg_context, feats] (use_bg) or [bg_context, feats]
+    (use_bg + not use_oc).
+    """
 
     key_channels: int
     out_channels: int
     dropout: float = 0.05
+    use_bg: bool = False
+    use_oc: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, proxy: jnp.ndarray, train: bool) -> jnp.ndarray:
-        ctx = ObjectAttention(self.key_channels, dtype=self.dtype,
-                              name="object_attention")(feats, proxy, train)
-        x = jnp.concatenate([ctx, feats], axis=-1)
+    def __call__(self, feats: jnp.ndarray, proxy: jnp.ndarray, train: bool,
+                 gt_sim: jnp.ndarray = None) -> jnp.ndarray:
+        ctx = ObjectAttention(self.key_channels, use_bg=self.use_bg,
+                              dtype=self.dtype, name="object_attention")(
+            feats, proxy, train, gt_sim=gt_sim)
+        if self.use_bg:
+            ctx, bg_ctx = ctx
+            parts = [ctx, bg_ctx, feats] if self.use_oc else [bg_ctx, feats]
+        else:
+            parts = [ctx, feats]
+        x = jnp.concatenate(parts, axis=-1)
         x = ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
                    name="project")(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train, name="drop")(x)

@@ -1,0 +1,245 @@
+"""Torch-checkpoint import: reference/ImageNet weights -> flax variable trees.
+
+The reference loads ImageNet-pretrained backbones and its own trained
+checkpoints with per-arch key remaps
+(/root/reference/lib/models/tools/module_helper.py:124-235,
+segmentor/tools/module_runner.py:78-119).  Every published number (80.18
+mIoU, BASELINE.md) depends on ImageNet initialization, so this module is
+the bridge: it maps a torch ``state_dict`` (as numpy arrays) onto the flax
+``{'params', 'batch_stats'}`` trees produced by our models.
+
+Design notes (TPU-native divergences handled here):
+  * conv kernels transpose OIHW -> HWIO (NHWC layout);
+  * torch ``BatchNorm2d`` -> flax ``BatchNorm`` leaf renames
+    (weight/bias/running_mean/running_var -> scale/bias/mean/var);
+  * torch convs that carry a bias *immediately before a BN* (e.g. the
+    reference cls_head 3x3 conv, lib/models/nets/hrnet.py:38) have no bias
+    leaf on our side — the bias is folded into the BN running mean
+    (``BN(x + b) == BN'(x)`` with ``mean' = mean - b``), which is exact in
+    eval mode and a no-op in train mode where batch stats are recomputed.
+
+No torch import is required here: callers hand us a ``{key: np.ndarray}``
+dict (see tools/import_torch_ckpt.py for the .pth reader).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Optional
+
+import numpy as np
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+# Leaf renames: flax BatchNorm leaf -> torch BatchNorm2d attribute.
+_BN_LEAF = {"scale": "weight", "bias": "bias", "mean": "running_mean", "var": "running_var"}
+
+# Flax leaves that live in batch_stats rather than params.
+_STAT_LEAVES = ("mean", "var")
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+class TorchKey:
+    """A resolved mapping for one flax leaf."""
+
+    def __init__(self, key: str, transform: Optional[Callable] = None,
+                 fold_bias_key: Optional[str] = None):
+        self.key = key
+        self.transform = transform
+        # For BN `mean` leaves: torch conv bias key to subtract (bias fold).
+        self.fold_bias_key = fold_bias_key
+
+
+def _convbn(base_conv: str, base_bn: str, sub: tuple[str, ...]) -> Optional[TorchKey]:
+    """Map the tail of a ConvBN flax path: ('conv','kernel') or ('norm','bn',X)."""
+    if sub == ("conv", "kernel"):
+        return TorchKey(f"{base_conv}.weight", _conv_kernel)
+    if sub == ("conv", "bias"):
+        return TorchKey(f"{base_conv}.bias")
+    if len(sub) == 3 and sub[:2] == ("norm", "bn"):
+        leaf = sub[2]
+        fold = f"{base_conv}.bias" if leaf == "mean" else None
+        return TorchKey(f"{base_bn}.{_BN_LEAF[leaf]}", fold_bias_key=fold)
+    return None
+
+
+def _block(base: str, sub: tuple[str, ...]) -> Optional[TorchKey]:
+    """BasicBlock / Bottleneck: flax conv{1..3}/downsample -> torch names."""
+    m = re.fullmatch(r"conv(\d)", sub[0])
+    if m:
+        return _convbn(f"{base}.conv{m.group(1)}", f"{base}.bn{m.group(1)}", sub[1:])
+    if sub[0] == "downsample":
+        return _convbn(f"{base}.downsample.0", f"{base}.downsample.1", sub[1:])
+    return None
+
+
+def hrnet_backbone_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """Map a flax HRNet-backbone-relative leaf path to the torch key.
+
+    Torch naming per /root/reference/lib/models/backbones/hrnet/
+    hrnet_backbone.py:508-560 (conv1/bn1/conv2/bn2/layer1/transition{1,2,3}/
+    stage{2,3,4}); our module names per models/hrnet.py.
+    """
+    name = path[0]
+    if name in ("stem1", "stem2"):
+        n = "1" if name == "stem1" else "2"
+        return _convbn(f"conv{n}", f"bn{n}", path[1:])
+    m = re.fullmatch(r"layer1_block(\d+)", name)
+    if m:
+        return _block(f"layer1.{m.group(1)}", path[1:])
+    m = re.fullmatch(r"transition(\d)_b(\d)", name)
+    if m:
+        s, i = int(m.group(1)), int(m.group(2))
+        # Our transitions are numbered by the stage they feed (2/3/4); torch
+        # uses transition1/2/3.  The newly spawned coarsest branch (i == s-1)
+        # is a nested Sequential in torch (hrnet_backbone.py:438-460).
+        base = f"transition{s - 1}.{i}"
+        if i == s - 1:
+            base += ".0"
+        return _convbn(f"{base}.0", f"{base}.1", path[1:])
+    m = re.fullmatch(r"stage(\d)_module(\d+)", name)
+    if m:
+        s, mod = m.group(1), m.group(2)
+        inner = path[1]
+        b = re.fullmatch(r"branch(\d+)_block(\d+)", inner)
+        if b:
+            return _block(f"stage{s}.{mod}.branches.{b.group(1)}.{b.group(2)}",
+                          path[2:])
+        f = re.fullmatch(r"fuse(\d+)_(\d+)_ds(\d+)", inner)
+        if f:
+            base = f"stage{s}.{mod}.fuse_layers.{f.group(1)}.{f.group(2)}.{f.group(3)}"
+            return _convbn(f"{base}.0", f"{base}.1", path[2:])
+        f = re.fullmatch(r"fuse(\d+)_(\d+)", inner)
+        if f:
+            base = f"stage{s}.{mod}.fuse_layers.{f.group(1)}.{f.group(2)}"
+            return _convbn(f"{base}.0", f"{base}.1", path[2:])
+    return None
+
+
+def _plain_conv(base: str, sub: tuple[str, ...]) -> Optional[TorchKey]:
+    """A bare flax nn.Conv: ('kernel',) / ('bias',)."""
+    if sub == ("kernel",):
+        return TorchKey(f"{base}.weight", _conv_kernel)
+    if sub == ("bias",):
+        return TorchKey(f"{base}.bias")
+    return None
+
+
+def hrnet_seg_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """Full HRNetSeg (models/nets.py HRNetSeg) -> reference HRNet_W48[_CONTRAST]
+    (lib/models/nets/hrnet.py:24-95).  Covers backbone + cls_head + proj_head.
+    """
+    if path[0] == "backbone":
+        tk = hrnet_backbone_path(path[1:])
+        if tk is not None:
+            tk.key = f"backbone.{tk.key}"
+            if tk.fold_bias_key:
+                tk.fold_bias_key = f"backbone.{tk.fold_bias_key}"
+        return tk
+    if path[0] == "cls_head":
+        if path[1] == "conv":  # ConvBN: torch Sequential slots 0 (conv) / 1.0 (bn)
+            return _convbn("cls_head.0", "cls_head.1.0", path[2:])
+        if path[1] == "cls":
+            return _plain_conv("cls_head.3", path[2:])
+    if path[0] == "proj_head":
+        # torch: proj = Sequential(Conv2d, BNReLU(=Sequential(BN, ReLU)), Conv2d)
+        if path[1] == "fc1":
+            return _plain_conv("proj_head.proj.0", path[2:])
+        if len(path) == 4 and path[1] == "norm" and path[2] == "bn":
+            fold = "proj_head.proj.0.bias" if path[3] == "mean" else None
+            # fc1 *keeps* its bias on our side, so no fold is needed there.
+            return TorchKey(f"proj_head.proj.1.0.{_BN_LEAF[path[3]]}",
+                            fold_bias_key=None)
+        if path[1] == "fc2":
+            return _plain_conv("proj_head.proj.2", path[2:])
+    return None
+
+
+PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
+    "hrnet_seg": hrnet_seg_path,
+    "hrnet_backbone": hrnet_backbone_path,
+}
+
+
+def convert_state_dict(
+    variables: dict,
+    torch_sd: dict[str, np.ndarray],
+    mapper: Callable[[tuple[str, ...]], Optional[TorchKey]] | str = "hrnet_seg",
+    strict: bool = True,
+) -> tuple[dict, dict]:
+    """Fill flax ``variables`` from a torch state dict.
+
+    Returns (new_variables, report) where report lists ``loaded``,
+    ``missing`` (flax leaves with no torch source) and ``unused`` (torch keys
+    never consumed).  ``strict`` raises if any mappable leaf has a
+    shape-mismatched or absent torch tensor.
+    """
+    if isinstance(mapper, str):
+        mapper = PATH_MAPPERS[mapper]
+
+    out = {}
+    loaded, missing = [], []
+    used: set[str] = set()
+    for col in ("params", "batch_stats"):
+        flat = flatten_dict(variables.get(col, {}))
+        new_flat = {}
+        for path, val in flat.items():
+            tk = mapper(tuple(path))
+            if tk is None or tk.key not in torch_sd:
+                new_flat[path] = val
+                missing.append("/".join(path))
+                continue
+            src = torch_sd[tk.key]
+            arr = tk.transform(src) if tk.transform else np.asarray(src)
+            if tk.fold_bias_key and tk.fold_bias_key in torch_sd:
+                arr = arr - np.asarray(torch_sd[tk.fold_bias_key])
+                used.add(tk.fold_bias_key)
+            if arr.shape != val.shape:
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(path)}: torch {tk.key} "
+                    f"{arr.shape} vs flax {val.shape}"
+                )
+            new_flat[path] = arr.astype(np.asarray(val).dtype)
+            used.add(tk.key)
+            loaded.append("/".join(path))
+        if new_flat:
+            out[col] = unflatten_dict(new_flat)
+    for col in variables:
+        if col not in out:
+            out[col] = variables[col]
+
+    unused = [k for k in torch_sd if k not in used and "num_batches_tracked" not in k]
+    report = {"loaded": loaded, "missing": missing, "unused": unused}
+    if strict and not loaded:
+        raise ValueError("no leaves were loaded — wrong mapper or state dict?")
+    return out, report
+
+
+def strip_prefixes(torch_sd: dict[str, Any], prefixes=("module.",)) -> dict[str, Any]:
+    """Normalize checkpoint key layouts (module_runner.py:88-119 equivalents)."""
+    out = {}
+    for k, v in torch_sd.items():
+        for p in prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+        out[k] = v
+    return out
+
+
+def save_variables(variables: dict, path: str) -> None:
+    """Serialize converted variables with flax msgpack (trainer-loadable)."""
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            {k: v for k, v in variables.items()}))
+
+
+def load_variables(path: str) -> dict:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())

@@ -52,15 +52,26 @@ def test_segfix():
     assert out["dir"].shape == (1, hw[0] // 4, hw[1] // 4, 8)
 
 
-def test_ideal_ocrnet_with_gt():
-    model = MODELS.build("ideal_spatial_ocrnet", _cfg("ideal_spatial_ocrnet"))
-    x = jnp.zeros((1, 32, 64, 3), jnp.float32)
-    gt = jnp.asarray(
-        np.random.default_rng(1).integers(0, 4, size=(1, 32, 64)).astype(np.int32)
-    )
-    variables = model.init(
-        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x,
-        gt_labels=gt, train=False,
-    )
-    out = model.apply(variables, x, gt_labels=gt, train=False)
-    assert out["seg"].shape == (1, 32, 64, 4)
+def test_ideal_ocrnet_variants_differ():
+    """The five oracle variants (ideal_ocrnet.py:19-263) are distinct
+    computations: same seed + input must give pairwise different outputs."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 32, 64, 3), dtype=np.float32))
+    gt = jnp.asarray(rng.integers(-1, 4, size=(1, 32, 64)).astype(np.int32))
+    outs = {}
+    for name in ("ideal_spatial_ocrnet", "ideal_spatial_ocrnet_b",
+                 "ideal_spatial_ocrnet_c", "ideal_gather_ocrnet",
+                 "ideal_distribute_ocrnet"):
+        model = MODELS.build(name, _cfg(name))
+        variables = model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)}, x,
+            gt_labels=gt, train=False,
+        )
+        out = model.apply(variables, x, gt_labels=gt, train=False)
+        assert out["seg"].shape == (1, 32, 64, 4)
+        assert np.isfinite(np.asarray(out["seg"])).all()
+        outs[name] = np.asarray(out["seg"])
+    names = list(outs)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            assert not np.allclose(outs[a], outs[b], atol=1e-5), (a, b)

@@ -1,0 +1,188 @@
+"""Forward + gradient parity vs the reference torch implementation.
+
+The strongest correctness proof available (VERDICT.md next-round item 1/2):
+run the reference `HRNet_W48_CONTRAST` (torch, CPU) and our `HRNetSeg`
+on the SAME weights (via utils/torch_import) and the SAME input, and demand
+matching outputs and matching CE gradients.  This pins down HRNet topology,
+BN semantics, align-corners resize, the projection head, and the weight
+importer in one shot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from contrastiveseg_tpu.models.nets import HRNetSeg  # noqa: E402
+from contrastiveseg_tpu.utils import torch_import as ti  # noqa: E402
+
+import torch_ref  # noqa: E402
+
+NUM_CLASSES = 19
+HW = 64
+
+
+@pytest.fixture(scope="module")
+def parity_pair():
+    """(torch net eval, flax model, converted variables, report)."""
+    net = torch_ref.build_hrnet_contrast(num_classes=NUM_CLASSES, seed=0)
+    # Randomize BN running stats so eval-mode normalization (and the
+    # conv-bias -> running-mean fold) is genuinely exercised.
+    g = torch.Generator().manual_seed(7)
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.normal_(0, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 2.0, generator=g)
+    sd = torch_ref.state_dict_numpy(net)
+
+    model = HRNetSeg(num_classes=NUM_CLASSES, arch="hrnet48", with_proj=True)
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, HW, HW, 3), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, dummy, train=True)
+    newvars, report = ti.convert_state_dict(variables, sd, "hrnet_seg")
+    return net, model, newvars, report
+
+
+def test_conversion_complete(parity_pair):
+    """Every flax leaf is sourced from torch; every torch key is consumed."""
+    _, _, _, report = parity_pair
+    assert report["missing"] == [], report["missing"][:10]
+    assert report["unused"] == [], report["unused"][:10]
+    assert len(report["loaded"]) > 1500
+
+
+def test_forward_parity_eval(parity_pair):
+    """Same weights + input -> same seg logits and embeddings (eval mode)."""
+    net, model, newvars, _ = parity_pair
+    x = np.random.RandomState(0).randn(2, HW, HW, 3).astype(np.float32)
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        out_t = net(xt)
+    out_j = model.apply(
+        {"params": newvars["params"], "batch_stats": newvars["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    for k, tol in (("seg", 2e-3), ("embed", 2e-3)):
+        a = out_t[k].numpy()
+        b = np.transpose(np.asarray(out_j[k]), (0, 3, 1, 2))
+        assert a.shape == b.shape
+        err = np.abs(a - b).max()
+        assert err < tol, f"{k}: max abs err {err}"
+
+
+def test_gradient_parity_ce(parity_pair):
+    """Full-model CE gradients match torch per param tensor (cosine ~ 1).
+
+    Loss = CE(align-corners-upsampled seg, labels, ignore -1) — the
+    ContrastCELoss seg path (loss_contrast.py:181).  Eval-mode BN on both
+    sides keeps the comparison deterministic (no batch-stat coupling,
+    no dropout).
+    """
+    from contrastiveseg_tpu.losses.ce import upsampled_cross_entropy
+
+    net, model, newvars, _ = parity_pair
+    rs = np.random.RandomState(1)
+    x = rs.randn(2, HW, HW, 3).astype(np.float32)
+    labels = rs.randint(-1, NUM_CLASSES, size=(2, HW, HW)).astype(np.int32)
+
+    # Torch side.
+    net.zero_grad(set_to_none=True)
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    out_t = net(xt)
+    up = torch.nn.functional.interpolate(
+        out_t["seg"], size=(HW, HW), mode="bilinear", align_corners=True)
+    loss_t = torch.nn.functional.cross_entropy(
+        up, torch.from_numpy(labels).long(), ignore_index=-1)
+    loss_t.backward()
+    tgrads = {k: p.grad.detach().numpy() for k, p in net.named_parameters()
+              if p.grad is not None}
+
+    # JAX side.
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, "batch_stats": newvars["batch_stats"]},
+            jnp.asarray(x), train=False,
+        )
+        return upsampled_cross_entropy(out["seg"], jnp.asarray(labels))
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(newvars["params"])
+    assert abs(float(loss_j) - float(loss_t)) < 1e-3
+
+    # Compare every flax param grad against its torch source tensor.
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(grads)
+    checked = 0
+    worst = (1.0, None)
+    for path, gj in flat.items():
+        tk = ti.hrnet_seg_path(tuple(path))
+        if tk is None or tk.key not in tgrads:
+            continue
+        gt = tgrads[tk.key]
+        if tk.transform is not None:
+            gt = tk.transform(gt)
+        gj = np.asarray(gj, np.float64).ravel()
+        gt = np.asarray(gt, np.float64).ravel()
+        # proj_head gets no gradient from the CE loss — both must agree on 0.
+        na, nb = np.linalg.norm(gj), np.linalg.norm(gt)
+        if na == 0.0 and nb == 0.0:
+            continue
+        cos = float(np.dot(gj, gt) / (na * nb + 1e-30))
+        if cos < worst[0]:
+            worst = (cos, "/".join(path))
+        checked += 1
+    assert checked > 900, f"only {checked} grad tensors compared"
+    assert worst[0] > 0.99, f"worst cosine {worst[0]} at {worst[1]}"
+
+
+def test_save_load_roundtrip(parity_pair, tmp_path):
+    """msgpack save/load (the network.pretrained path) preserves all leaves."""
+    _, _, newvars, _ = parity_pair
+    p = str(tmp_path / "weights.msgpack")
+    ti.save_variables(newvars, p)
+    back = ti.load_variables(p)
+    from flax.traverse_util import flatten_dict
+
+    a = flatten_dict(newvars["params"])
+    b = flatten_dict(back["params"])
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_convbn_train_mode_parity():
+    """Train-mode BN (batch stats) matches torch exactly on one block."""
+    import flax
+
+    from contrastiveseg_tpu.models.layers import ConvBN
+
+    torch.manual_seed(0)
+    tconv = torch.nn.Conv2d(8, 16, 3, 1, 1, bias=False)
+    tbn = torch.nn.BatchNorm2d(16)
+    with torch.no_grad():
+        tbn.weight.normal_()
+        tbn.bias.normal_()
+    x = torch.randn(2, 8, 32, 32)
+    tconv.train(), tbn.train()
+    with torch.no_grad():
+        yt = torch.relu(tbn(tconv(x))).numpy()
+
+    m = ConvBN(16, 3, 1)
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    v = m.init(jax.random.PRNGKey(0), xj, True)
+    vp = flax.traverse_util.flatten_dict(v["params"])
+    vp[("conv", "kernel")] = jnp.asarray(
+        np.transpose(tconv.weight.detach().numpy(), (2, 3, 1, 0)))
+    vp[("norm", "bn", "scale")] = jnp.asarray(tbn.weight.detach().numpy())
+    vp[("norm", "bn", "bias")] = jnp.asarray(tbn.bias.detach().numpy())
+    params = flax.traverse_util.unflatten_dict(vp)
+    yj, _ = m.apply({"params": params, "batch_stats": v["batch_stats"]},
+                    xj, True, mutable=["batch_stats"])
+    yj = np.transpose(np.asarray(yj), (0, 3, 1, 2))
+    assert np.abs(yt - yj).max() < 1e-4

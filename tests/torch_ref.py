@@ -1,0 +1,196 @@
+"""Test oracle: build reference (torch) models on CPU for parity checks.
+
+Imports the UNTRUSTED read-only reference at /root/reference purely as a
+numerical oracle (the pacnet-style dual-implementation pattern, SURVEY.md §4).
+Nothing from here ships in the product package.
+
+The reference's transformer backbones import `timm`, which is not installed;
+a minimal in-process shim provides the three symbols they need.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _install_timm_shim():
+    if "timm" in sys.modules:
+        return
+    import torch
+    import torch.nn as nn
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    models.__path__ = []  # mark as package
+    layers = types.ModuleType("timm.models.layers")
+    registry = types.ModuleType("timm.models.registry")
+    vit = types.ModuleType("timm.models.vision_transformer")
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            return x
+
+    def to_2tuple(v):
+        return v if isinstance(v, tuple) else (v, v)
+
+    def trunc_normal_(t, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            t.normal_(mean, std).clamp_(a, b)
+        return t
+
+    def register_model(fn):
+        return fn
+
+    def _cfg(url="", **kwargs):
+        return dict(url=url, **kwargs)
+
+    class Attention(nn.Module):
+        def __init__(self, dim, num_heads=8, qkv_bias=False, attn_drop=0.0,
+                     proj_drop=0.0, **kw):
+            super().__init__()
+            self.num_heads = num_heads
+            self.scale = (dim // num_heads) ** -0.5
+            self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.proj = nn.Linear(dim, dim)
+
+        def forward(self, x):
+            B, N, C = x.shape
+            qkv = self.qkv(x).reshape(B, N, 3, self.num_heads, C // self.num_heads)
+            q, k, v = qkv.permute(2, 0, 3, 1, 4).unbind(0)
+            attn = (q @ k.transpose(-2, -1)) * self.scale
+            attn = attn.softmax(dim=-1)
+            x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+            return self.proj(x)
+
+    class Block(nn.Module):
+        def __init__(self, dim, num_heads, mlp_ratio=4.0, qkv_bias=False, **kw):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim)
+            self.attn = Attention(dim, num_heads=num_heads, qkv_bias=qkv_bias)
+            self.norm2 = nn.LayerNorm(dim)
+            hidden = int(dim * mlp_ratio)
+            self.mlp = nn.Sequential(
+                nn.Linear(dim, hidden), nn.GELU(), nn.Linear(hidden, dim))
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.mlp(self.norm2(x))
+
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = trunc_normal_
+    registry.register_model = register_model
+    vit.Attention = Attention
+    vit.Block = Block
+    vit._cfg = _cfg
+    models.layers = layers
+    models.registry = registry
+    models.vision_transformer = vit
+    timm.models = models
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = layers
+    sys.modules["timm.models.registry"] = registry
+    sys.modules["timm.models.vision_transformer"] = vit
+
+
+def _install_yacs_shim():
+    if "yacs" in sys.modules:
+        return
+
+    class CfgNode(dict):
+        """Attribute-style dict, enough for hrnet_config.py's usage."""
+
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    yacs = types.ModuleType("yacs")
+    yacs.__path__ = []
+    config = types.ModuleType("yacs.config")
+    config.CfgNode = CfgNode
+    yacs.config = config
+    sys.modules["yacs"] = yacs
+    sys.modules["yacs.config"] = config
+
+
+def setup_reference():
+    """Make `lib.*` importable; returns the reference root."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    _install_timm_shim()
+    _install_yacs_shim()
+    return REFERENCE_ROOT
+
+
+def build_configer(overrides: dict | None = None):
+    """Reference Configer seeded with a minimal CPU-friendly config."""
+    setup_reference()
+    from lib.utils.tools.configer import Configer
+
+    cfg = {
+        "data": {"num_classes": 19},
+        "network": {"backbone": "hrnet48", "bn_type": "torchbn",
+                    "pretrained": None, "resume": None, "stride": 4,
+                    "factors": [], "loss_weights": {"aux_loss": 0.4,
+                                                    "seg_loss": 1.0}},
+        "contrast": {"proj_dim": 256, "temperature": 0.1,
+                     "base_temperature": 0.07, "max_samples": 1024,
+                     "max_views": 100, "stride": 8, "warmup_iters": 0,
+                     "loss_weight": 0.1, "use_rmi": False,
+                     "use_lovasz": False, "with_memory": False,
+                     "memory_size": 100, "pixel_update_freq": 10},
+        "loss": {"loss_type": "contrast_ce_loss", "params": {
+            "ce_reduction": "mean", "ce_ignore_index": -1}},
+        "lr": {"base_lr": 0.01},
+        "solver": {"display_iter": 10},
+    }
+
+    def _merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                _merge(dst[k], v)
+            else:
+                dst[k] = v
+
+    if overrides:
+        _merge(cfg, overrides)
+    f = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+    json.dump(cfg, f)
+    f.flush()
+    return Configer(args_parser=argparse.Namespace(configs=f.name, REMAIN=[]))
+
+
+def build_hrnet_contrast(num_classes=19, proj_dim=256, seed=0):
+    """Reference HRNet_W48_CONTRAST (lib/models/nets/hrnet.py:59-95), eval mode."""
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    c = build_configer({"data": {"num_classes": num_classes},
+                        "contrast": {"proj_dim": proj_dim}})
+    from lib.models.nets.hrnet import HRNet_W48_CONTRAST
+
+    net = HRNet_W48_CONTRAST(c)
+    net.eval()
+    return net
+
+
+def state_dict_numpy(net) -> dict:
+    """state_dict as {key: np.float32 array}."""
+    return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}

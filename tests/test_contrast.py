@@ -23,7 +23,8 @@ def _norm(x, axis=-1):
 def _torch_contrastive(feats_, labels_, temperature, base_temperature, queue=None):
     """Direct port of PixelContrastLoss._contrastive
     (loss_contrast.py:91-128 / loss_contrast_mem.py:107-152)."""
-    feats_ = torch.from_numpy(feats_)
+    if isinstance(feats_, np.ndarray):
+        feats_ = torch.from_numpy(feats_)
     labels_ = torch.from_numpy(labels_).float()
     anchor_num, n_view = feats_.shape[0], feats_.shape[1]
     labels_ = labels_.contiguous().view(-1, 1)
@@ -68,7 +69,7 @@ def _torch_contrastive(feats_, labels_, temperature, base_temperature, queue=Non
     log_prob = logits - torch.log(exp_logits + neg_logits)
     mean_log_prob_pos = (mask * log_prob).sum(1) / mask.sum(1)
     loss = -(temperature / base_temperature) * mean_log_prob_pos
-    return loss.mean().item()
+    return loss.mean()
 
 
 def _as_anchor_set(feats, labels):
@@ -92,7 +93,7 @@ def test_within_batch_matches_torch():
     spec = ContrastSpec(num_classes=5, max_samples=A * V, max_views=V,
                         temperature=0.1, base_temperature=0.07)
     ours = float(contrastive_loss(_as_anchor_set(feats, labels), spec))
-    ref = _torch_contrastive(feats, labels.astype(np.float32), 0.1, 0.07)
+    ref = float(_torch_contrastive(feats, labels.astype(np.float32), 0.1, 0.07))
     assert abs(ours - ref) < 1e-4, (ours, ref)
 
 
@@ -128,8 +129,8 @@ def test_memory_queue_matches_torch():
     labels = np.array([2, 2, 3, 3], dtype=np.int64)  # classes 2,3 only
     queue = _norm(rng.standard_normal((C, cache, D)).astype(np.float32))
 
-    ref = _torch_contrastive(feats, labels.astype(np.float32), 0.07, 0.07,
-                             queue=queue)
+    ref = float(_torch_contrastive(feats, labels.astype(np.float32), 0.07, 0.07,
+                                   queue=queue))
 
     # Replicate the reference's contrast set layout: classes 1..C-1 followed
     # by `cache` zero rows labeled 0.
@@ -226,3 +227,78 @@ def test_end_to_end_loss_and_grad():
     assert np.isfinite(float(loss)) and float(loss) > 0
     assert np.isfinite(np.asarray(grad)).all()
     assert np.abs(np.asarray(grad)).sum() > 0
+
+
+def test_within_batch_gradient_matches_torch():
+    """d loss / d feats matches the torch reference port (VERDICT.md #2b)."""
+    rng = np.random.default_rng(5)
+    A, V, D = 6, 4, 16
+    feats = _norm(rng.standard_normal((A, V, D)).astype(np.float32))
+    labels = rng.integers(0, 5, size=A).astype(np.int64)
+    labels[:2] = labels[2:4]
+    spec = ContrastSpec(num_classes=5, max_samples=A * V, max_views=V,
+                        temperature=0.1, base_temperature=0.07)
+
+    ft = torch.from_numpy(feats).clone().requires_grad_(True)
+    loss_t = _torch_contrastive(ft, labels.astype(np.float32), 0.1, 0.07)
+    loss_t.backward()
+    g_t = ft.grad.numpy()
+
+    def loss_j(f):
+        A_, V_, D_ = f.shape
+        flat = jnp.transpose(f, (1, 0, 2)).reshape(A_ * V_, D_)
+        aset = AnchorSet(
+            feats=flat,
+            labels=jnp.asarray(np.tile(labels, V).astype(np.int32)),
+            valid=jnp.ones(A_ * V_, dtype=bool),
+        )
+        return contrastive_loss(aset, spec)
+
+    g_j = np.asarray(jax.grad(loss_j)(jnp.asarray(feats)))
+    assert g_j.shape == g_t.shape
+    denom = np.linalg.norm(g_t) * np.linalg.norm(g_j) + 1e-30
+    cos = float((g_t * g_j).sum() / denom)
+    assert cos > 1 - 1e-5, cos
+    assert np.abs(g_t - g_j).max() < 1e-4
+
+
+def test_memory_queue_gradient_matches_torch():
+    rng = np.random.default_rng(6)
+    A, V, D, C, cache = 4, 2, 16, 4, 10
+    feats = _norm(rng.standard_normal((A, V, D)).astype(np.float32))
+    labels = np.array([2, 2, 3, 3], dtype=np.int64)
+    queue = _norm(rng.standard_normal((C, cache, D)).astype(np.float32))
+
+    ft = torch.from_numpy(feats).clone().requires_grad_(True)
+    loss_t = _torch_contrastive(ft, labels.astype(np.float32), 0.07, 0.07,
+                                queue=queue)
+    loss_t.backward()
+    g_t = ft.grad.numpy()
+
+    q_feats = np.concatenate(
+        [queue[1:].reshape(-1, D), np.zeros((cache, D), np.float32)])
+    q_labels = np.concatenate(
+        [np.repeat(np.arange(1, C), cache), np.zeros(cache)]).astype(np.int32)
+    spec = ContrastSpec(num_classes=C, max_samples=A * V, max_views=V,
+                        temperature=0.07, base_temperature=0.07)
+
+    def loss_j(f):
+        A_, V_, D_ = f.shape
+        flat = jnp.transpose(f, (1, 0, 2)).reshape(A_ * V_, D_)
+        aset = AnchorSet(
+            feats=flat,
+            labels=jnp.asarray(np.tile(labels, V).astype(np.int32)),
+            valid=jnp.ones(A_ * V_, dtype=bool),
+        )
+        return contrastive_loss(
+            aset, spec,
+            queue_feats=jnp.asarray(q_feats),
+            queue_labels=jnp.asarray(q_labels),
+            queue_valid=jnp.ones(len(q_labels), bool),
+        )
+
+    g_j = np.asarray(jax.grad(loss_j)(jnp.asarray(feats)))
+    denom = np.linalg.norm(g_t) * np.linalg.norm(g_j) + 1e-30
+    cos = float((g_t * g_j).sum() / denom)
+    assert cos > 1 - 1e-5, cos
+    assert np.abs(g_t - g_j).max() < 1e-4

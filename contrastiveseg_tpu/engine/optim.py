@@ -105,7 +105,20 @@ def _sgd_like(cfg, schedule) -> optax.GradientTransformation:
 
 
 def build_optimizer(cfg, params) -> optax.GradientTransformation:
-    """Backbone vs head LR groups via lr.nbb_mult (default 1.0)."""
+    """Backbone vs head LR groups via lr.nbb_mult (default 1.0).
+
+    ``network.clip_grad_norm`` prepends global-norm clipping — the
+    ModuleRunner.clip_grad equivalent (module_runner.py:238-263; defined
+    but never wired in the reference trainer, config-reachable here).
+    """
+    tx = _build_groups(cfg, params)
+    clip = cfg.get("network.clip_grad_norm", default=None)
+    if clip:
+        tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
+    return tx
+
+
+def _build_groups(cfg, params) -> optax.GradientTransformation:
     nbb_mult = float(cfg.get("lr.nbb_mult", default=1.0))
     schedule = build_schedule(cfg)
     if nbb_mult == 1.0:

@@ -45,6 +45,21 @@ def maybe_update_swa(
     )
 
 
+def update_swa(swa: SWAState, params) -> SWAState:
+    """Unconditional running-average update (torchcontrib SWA.update_swa);
+    the trainer computes the reference's trigger schedule on the host
+    (trainer_contrastive.py:185-187,291-296)."""
+    n = swa.n_averaged
+
+    def upd(avg, p):
+        return (avg * n + p) / (n + 1)
+
+    return SWAState(
+        avg_params=jax.tree_util.tree_map(upd, swa.avg_params, params),
+        n_averaged=n + 1,
+    )
+
+
 def swap_to_swa(state, swa: SWAState):
     """Return the train state with SWA-averaged params (for final eval;
     BN statistics should be re-estimated with a few forward passes)."""

@@ -114,12 +114,97 @@ class Tester:
             total = total + self.sscrop_test(flipped, crop_size, s)[:, :, ::-1, :]
         return total
 
-    def infer(self, images: jnp.ndarray) -> jnp.ndarray:
+    def _denormalize(self, images: np.ndarray) -> np.ndarray:
+        """Normalized model input -> uint8 RGB (for CRF appearance terms)."""
+        nz = self.cfg.get("normalize", default={})
+        from contrastiveseg_tpu.data.transforms import Normalizer
+
+        norm = Normalizer(
+            div_value=nz.get("div_value", 255.0),
+            mean=nz.get("mean", (0.485, 0.456, 0.406)),
+            std=nz.get("std", (0.229, 0.224, 0.225)),
+        )
+        return norm.denormalize(images).astype(np.uint8)
+
+    def crf_ss_test(self, images: jnp.ndarray) -> jnp.ndarray:
+        """tester.py:164-167,535-575: ss_test + DenseCRF refinement.
+
+        Uses ops/crf.mean_field_crf (pydensecrf-free mean-field, documented
+        approximation) with the reference's hyperparameters (pos_xy_std=1,
+        pos_w=3, bi_xy_std=10, bi_rgb_std=3, bi_w=4, iter_max=10).
+        """
+        from contrastiveseg_tpu.ops.crf import mean_field_crf
+
+        logits = self.ss_test(images)
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        rgb = self._denormalize(np.asarray(images))
+        refined = np.stack([
+            mean_field_crf(
+                probs[i], rgb[i], iters=10,
+                sxy_gaussian=1.0, compat_gaussian=3.0,
+                sxy_bilateral=10.0, srgb=3.0, compat_bilateral=4.0,
+            )
+            for i in range(probs.shape[0])
+        ])
+        return jnp.asarray(refined)
+
+    def ms_test_depth(self, images: jnp.ndarray,
+                      metas: Optional[list] = None) -> jnp.ndarray:
+        """tester.py:425-475: depth-weighted multi-scale fusion.
+
+        Per-scale fused (orig+flip) probs are weighted per pixel by
+        POWER_BASE ** |depth_bin - scale_index| where depth bins come from
+        a stereo disparity PNG (`test.stereo_path/<name>.png`, 16-bit,
+        depth = 500 * 0.5/(raw/256), clipped to MAX_DEPTH=63).  Images with
+        no depth map fall back to uniform weights (= ms_test).
+        """
+        MAX_DEPTH, POWER_BASE = 63, 0.8
+        scales = self.cfg.get("test.scale_search", default=[0.75, 1.0, 1.25])
+        stereo_path = self.cfg.get("test.stereo_path", default=None)
+        n, h, w, _ = images.shape
+        flipped = images[:, :, ::-1, :]
+        prob_list = [
+            np.asarray(self.ss_test(images, s))
+            + np.asarray(self.ss_test(flipped, s))[:, :, ::-1, :]
+            for s in scales
+        ]
+
+        full = np.zeros((n, h, w, self.num_classes), np.float32)
+        for i in range(n):
+            depth_bins = None
+            name = (metas[i] or {}).get("name") if metas else None
+            if stereo_path and name:
+                p = os.path.join(stereo_path, f"{name}.png")
+                if os.path.exists(p):
+                    raw = np.asarray(Image.open(p)).astype(np.float64)
+                    depth = 500.0 * (0.5 / np.maximum(raw / 256.0, 1e-6))
+                    depth = np.clip(depth, 0, MAX_DEPTH)
+                    depth_bins = depth // (MAX_DEPTH // len(scales))
+                    if depth_bins.shape != (h, w):
+                        depth_bins = np.asarray(
+                            Image.fromarray(depth_bins).resize(
+                                (w, h), Image.NEAREST)
+                        )
+            for si, prob in enumerate(prob_list):
+                if depth_bins is None:
+                    weight = 1.0
+                else:
+                    weight = (POWER_BASE ** np.abs(depth_bins - si)).astype(
+                        np.float32)[..., None]
+                full[i] += weight * prob[i]
+        return jnp.asarray(full)
+
+    def infer(self, images: jnp.ndarray,
+              metas: Optional[list] = None) -> jnp.ndarray:
         mode = self.cfg.get("test.mode", default="ss_test")
         if mode == "ss_test":
             return self.ss_test(images)
         if mode == "ms_test":
             return self.ms_test(images)
+        if mode == "ms_test_depth":
+            return self.ms_test_depth(images, metas)
+        if mode == "crf_ss_test":
+            return self.crf_ss_test(images)
         if mode in ("sscrop_test", "mscrop_test"):
             cw, ch = self.cfg.get("test.crop_size", default=[1024, 512])
             fn = self.sscrop_test if mode == "sscrop_test" else self.mscrop_test
@@ -157,7 +242,9 @@ class Tester:
 
         n = 0
         for batch in batches:
-            logits = np.asarray(self.infer(jnp.asarray(batch["image"])))
+            logits = np.asarray(
+                self.infer(jnp.asarray(batch["image"]), batch.get("meta"))
+            )
             for i, meta in enumerate(batch["meta"]):
                 ow, oh = meta["ori_size"]
                 img_logits = logits[i]

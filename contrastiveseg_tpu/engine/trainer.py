@@ -135,6 +135,18 @@ class Trainer:
         pipeline = build_pipeline(cfg, "train")
         data_iter = iter(pipeline)
 
+        # SWA trigger schedule (reference trainer_contrastive.py:185-187,
+        # 291-296): average at 5 evenly spaced points in the last 25% of
+        # training, swap + BN re-estimation at the end.
+        swa_on = "swa" in cfg.get("lr.lr_policy", default="lambda_poly")
+        swa = None
+        if swa_on:
+            from contrastiveseg_tpu.engine.swa import init_swa
+
+            swa_normal_iters = int(max_iters * 0.75)
+            swa_step_iters = (max_iters - swa_normal_iters) // 5 + 1
+            swa = init_swa(self.state.params)
+
         last_scores: dict = {}
         t_data = t_step = 0.0
         t0 = time.time()
@@ -166,12 +178,54 @@ class Trainer:
             else:
                 t_step += time.time() - ts0
 
+            if swa_on and (it + 1) > swa_normal_iters and (
+                (it + 1 - swa_normal_iters) % swa_step_iters == 0
+                or (it + 1) == max_iters
+            ):
+                from contrastiveseg_tpu.engine.swa import update_swa
+
+                swa = update_swa(swa, self.state.params)
+                self.log.info(f"SWA update {int(swa.n_averaged)} at iter {it + 1}")
+
             if (it + 1) % save_iters == 0:
                 self.ckpt.save(self.state, "latest")
             if test_interval and (it + 1) % test_interval == 0:
                 last_scores = self.validate()
+
+        if swa_on and int(swa.n_averaged) > 0:
+            # swap_swa_sgd + bn_update (trainer_contrastive.py:422-425).
+            from contrastiveseg_tpu.engine.swa import swap_to_swa
+
+            self.state = swap_to_swa(self.state, swa)
+            self._reestimate_bn(data_iter)
+            last_scores = self.validate()
         self.ckpt.save(self.state, "latest")
         return last_scores
+
+    def _reestimate_bn(self, data_iter, num_batches: int = 20) -> None:
+        """Re-estimate BN running stats for SWA-averaged params (the
+        torchcontrib bn_update step).  Divergence from the reference: an
+        EMA over `num_batches` train-mode forwards (momentum 0.9) instead
+        of a full-epoch exact average — converges to the same stats."""
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def fwd(params, batch_stats, images):
+            _, mut = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            return mut["batch_stats"]
+
+        bs = self.state.batch_stats
+        for _ in range(num_batches):
+            batch = next(data_iter)
+            img = batch["image"]
+            if self.mesh is not None:
+                img = shard_batch({"image": img}, self.mesh)["image"]
+            bs = fwd(self.state.params, bs, img)
+        self.state = self.state.replace(batch_stats=bs)
 
     def validate(self, max_batches: Optional[int] = None) -> dict:
         val_pipe = build_pipeline(self.cfg, "val")

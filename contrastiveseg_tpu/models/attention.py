@@ -205,3 +205,90 @@ class ASPOCModule(nn.Module):
         out = ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
                      name="project")(out, train)
         return nn.Dropout(0.1, deterministic=not train, name="drop")(out)
+
+
+class CCModule(nn.Module):
+    """RCCA: recurrent criss-cross attention (CCNet), the consumer of
+    ops/cc_attention.criss_cross_attention.
+
+    Replaces the reference's CUDA extension (lib/extensions/cc_attention/,
+    SURVEY.md §2.10) with the einsum formulation; structure follows the
+    public CCNet RCCAModule: conva 3x3 -> R x (x + gamma * CCA(x)) with
+    shared attention weights -> convb 3x3 -> bottleneck on [input, ctx].
+    """
+
+    out_channels: int = 512
+    recurrence: int = 2
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        from contrastiveseg_tpu.ops.cc_attention import criss_cross_attention
+
+        f = ConvBN(self.out_channels, 3, use_relu=True, dtype=self.dtype,
+                   name="conva")(x, train)
+        q_conv = nn.Conv(self.out_channels // 8, (1, 1), use_bias=False,
+                         dtype=self.dtype, name="query")
+        k_conv = nn.Conv(self.out_channels // 8, (1, 1), use_bias=False,
+                         dtype=self.dtype, name="key")
+        v_conv = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                         dtype=self.dtype, name="value")
+        gamma = self.param("gamma", nn.initializers.zeros, (), jnp.float32)
+        y = f
+        for _ in range(self.recurrence):
+            ctx = criss_cross_attention(q_conv(y), k_conv(y), v_conv(y))
+            y = y + gamma.astype(y.dtype) * ctx
+        y = ConvBN(self.out_channels, 3, use_relu=True, dtype=self.dtype,
+                   name="convb")(y, train)
+        y = jnp.concatenate([x, y], axis=-1)
+        y = ConvBN(self.out_channels, 3, use_relu=True, dtype=self.dtype,
+                   name="bottleneck")(y, train)
+        return nn.Dropout(self.dropout, deterministic=not train,
+                          name="drop")(y)
+
+
+class HANetConv(nn.Module):
+    """Height-driven attention (HANet_Conv, hanet_attention.py:16-120).
+
+    Row-pool the feature map to 16 rows, run a 3-layer 1-D conv MLP over
+    the height axis, sigmoid, linearly upsample to H, and scale rows.
+    Divergences (documented): the positional-encoding branch is omitted
+    (the reference net calls HANet_Conv without `pos`, so it is inert
+    there too), and non-multiple-of-16 heights fall back to a linear
+    resize instead of torch adaptive pooling's ragged bins.  NOTE the
+    reference net applies its 384-ch `ha1` to all four HRNet branches
+    (nets/hrnet.py:344-347) which cannot execute; we apply one HANetConv
+    per branch at the branch's own width — the intended design.
+    """
+
+    channels: int
+    r_factor: int = 64
+    pooled_rows: int = 16  # 128 // pos_rfactor(8)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        rows = jnp.mean(x, axis=2)  # [B, H, C]
+        if H % self.pooled_rows == 0:
+            pooled = rows.reshape(
+                B, self.pooled_rows, H // self.pooled_rows, C).mean(axis=2)
+        else:
+            pooled = jax.image.resize(
+                rows, (B, self.pooled_rows, C), method="linear")
+
+        mid1 = -(-self.channels // self.r_factor)  # ceil
+        y = nn.Conv(mid1, (1,), use_bias=False, dtype=self.dtype,
+                    name="att1")(pooled)
+        y = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 dtype=self.dtype, name="bn1")(y))
+        y = nn.Conv(2 * mid1, (3,), padding=1, dtype=self.dtype,
+                    name="att2")(y)
+        y = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 dtype=self.dtype, name="bn2")(y))
+        y = nn.Conv(self.channels, (3,), padding=1, dtype=self.dtype,
+                    name="att3")(y)
+        attn = jax.nn.sigmoid(y)  # [B, 16, C]
+        attn = jax.image.resize(attn, (B, H, C), method="linear")
+        return x * attn[:, :, None, :]

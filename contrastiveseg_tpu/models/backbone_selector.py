@@ -12,8 +12,13 @@ from typing import Any
 
 import jax.numpy as jnp
 
-from contrastiveseg_tpu.models.hrnet import HRNET_SPECS, HRNet
-from contrastiveseg_tpu.models.mobilenet import MobileNetSpec, MobileNetV2
+from contrastiveseg_tpu.models.hrnet import HRNET_SPECS, HRNEXT_SPECS, HRNet, HRNetNext
+from contrastiveseg_tpu.models.mobilenet import (
+    MobileNetSpec,
+    MobileNetV1,
+    MobileNetV2,
+    MobileNetV3,
+)
 from contrastiveseg_tpu.models.pvt import PVT, PVT_SPECS
 from contrastiveseg_tpu.models.resnet import RESNET_SPECS, ResNet
 from contrastiveseg_tpu.models.vit import VIT_SPECS, ViT
@@ -30,11 +35,15 @@ def build_backbone(name: str, dtype: Any = jnp.float32, module_name: str = "back
         return PVT(PVT_SPECS[name], dtype=dtype, name=module_name)
     if name in VIT_SPECS:
         return ViT(VIT_SPECS[name], dtype=dtype, name=module_name)
-    if name.startswith("mobilenetv2"):
+    if name in HRNEXT_SPECS:
+        return HRNetNext(arch=name, dtype=dtype, name=module_name)
+    if name.startswith("mobilenet"):
         dilate = 8 if "dilated8" in name else (16 if "dilated16" in name else None)
-        return MobileNetV2(MobileNetSpec(dilate_scale=dilate), dtype=dtype,
-                           name=module_name)
+        cls = {"mobilenetv1": MobileNetV1, "mobilenetv2": MobileNetV2,
+               "mobilenetv3": MobileNetV3}[name.split("_")[0]]
+        return cls(MobileNetSpec(dilate_scale=dilate), dtype=dtype,
+                   name=module_name)
     raise KeyError(
         f"unknown backbone {name!r}; known: "
-        f"{sorted([*HRNET_SPECS, *RESNET_SPECS, *PVT_SPECS, *VIT_SPECS, 'mobilenetv2'])}"
+        f"{sorted([*HRNET_SPECS, *HRNEXT_SPECS, *RESNET_SPECS, *PVT_SPECS, *VIT_SPECS, 'mobilenetv1', 'mobilenetv2', 'mobilenetv3'])}"
     )

@@ -68,10 +68,16 @@ HRNET_SPECS: dict[str, HRNetSpec] = {
 
 
 class HighResolutionModule(nn.Module):
-    """Parallel branches of BasicBlocks + full cross-resolution fusion."""
+    """Parallel branches of Basic/Bottleneck blocks + full fusion.
+
+    ``num_channels`` are POST-expansion widths (like the reference's
+    ``num_channels * block.expansion``, hrnet_backbone.py:590-600); for
+    bottleneck branches the block width is num_channels[i] // 4.
+    """
 
     num_channels: tuple[int, ...]
     num_blocks: int
+    block: str = "basic"  # basic | bottleneck
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -82,12 +88,20 @@ class HighResolutionModule(nn.Module):
         for i, x in enumerate(xs):
             for k in range(self.num_blocks):
                 need_ds = k == 0 and x.shape[-1] != self.num_channels[i]
-                x = BasicBlock(
-                    self.num_channels[i],
-                    downsample=need_ds,
-                    dtype=self.dtype,
-                    name=f"branch{i}_block{k}",
-                )(x, train)
+                if self.block == "bottleneck":
+                    x = Bottleneck(
+                        self.num_channels[i] // 4,
+                        downsample=need_ds,
+                        dtype=self.dtype,
+                        name=f"branch{i}_block{k}",
+                    )(x, train)
+                else:
+                    x = BasicBlock(
+                        self.num_channels[i],
+                        downsample=need_ds,
+                        dtype=self.dtype,
+                        name=f"branch{i}_block{k}",
+                    )(x, train)
             feats.append(x)
         if nb == 1:
             return feats
@@ -172,5 +186,61 @@ class HRNet(nn.Module):
                 xs = mod_cls(
                     stage.num_channels, stage.num_blocks, dtype=self.dtype,
                     name=f"stage{stage_idx}_module{m}",
+                )(xs, train)
+        return xs
+
+
+@dataclasses.dataclass(frozen=True)
+class HRNextStage:
+    num_modules: int
+    num_blocks: int
+    num_channels: tuple[int, ...]  # post-expansion widths
+    block: str = "basic"
+
+
+# hrnet2x20 (hrnet_config.py:140-175): stage1 is already 2 bottleneck
+# branches; stages grow to 5 branches of width 20/40/80/160/320.
+HRNEXT_SPECS: dict[str, tuple[HRNextStage, ...]] = {
+    "hrnet2x20": (
+        HRNextStage(1, 4, (128, 256), block="bottleneck"),
+        HRNextStage(1, 4, (20, 40, 80)),
+        HRNextStage(4, 4, (20, 40, 80, 160)),
+        HRNextStage(3, 4, (20, 40, 80, 160, 320)),
+    ),
+}
+
+
+class HRNetNext(nn.Module):
+    """HighResolutionNext (hrnet_backbone.py:577-740): single stride-2
+    stem, branch-parallel stage1, up to 5 branches.  Returns all branch
+    feature maps (strides 2..32 for hrnet2x20)."""
+
+    arch: str = "hrnet2x20"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> list[jnp.ndarray]:
+        stages = HRNEXT_SPECS[self.arch]
+        x = ConvBN(64, 3, 2, use_relu=True, dtype=self.dtype, name="stem")(
+            x, train)
+        xs = [x]
+        for stage_idx, stage in enumerate(stages, start=1):
+            new_xs = []
+            for i, c in enumerate(stage.num_channels):
+                if i < len(xs):
+                    if xs[i].shape[-1] != c:
+                        y = ConvBN(c, 3, 1, use_relu=True, dtype=self.dtype,
+                                   name=f"transition{stage_idx}_b{i}")(xs[i], train)
+                    else:
+                        y = xs[i]
+                else:
+                    y = ConvBN(c, 3, 2, use_relu=True, dtype=self.dtype,
+                               name=f"transition{stage_idx}_b{i}")(xs[-1], train)
+                new_xs.append(y)
+            xs = new_xs
+            for m in range(stage.num_modules):
+                xs = HighResolutionModule(
+                    stage.num_channels, stage.num_blocks, block=stage.block,
+                    dtype=self.dtype, name=f"stage{stage_idx}_module{m}",
                 )(xs, train)
         return xs

@@ -44,10 +44,16 @@ class HRNetSeg(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> dict[str, jnp.ndarray]:
         in_h, in_w = x.shape[1], x.shape[2]
-        feats = HRNet(HRNET_SPECS[self.arch], dtype=self.dtype,
-                      remat=self.remat, name="backbone")(
-            x.astype(self.dtype), train
-        )
+        if self.arch in HRNET_SPECS:
+            feats = HRNet(HRNET_SPECS[self.arch], dtype=self.dtype,
+                          remat=self.remat, name="backbone")(
+                x.astype(self.dtype), train
+            )
+        else:  # hrnet2x20-style HighResolutionNext archs
+            from contrastiveseg_tpu.models.hrnet import HRNetNext
+
+            feats = HRNetNext(arch=self.arch, dtype=self.dtype,
+                              name="backbone")(x.astype(self.dtype), train)
         h, w = feats[0].shape[1], feats[0].shape[2]
         cat = jnp.concatenate(
             [feats[0]]
@@ -85,6 +91,9 @@ class HRNetOCRSeg(nn.Module):
     mid_channels: int = 512
     key_channels: int = 256
     upsample_out: bool = True
+    # HANet height attention per branch before fusion (hrnet_w48_ocr_b_ha,
+    # nets/hrnet.py:301-365; see HANetConv for the reference-bug note).
+    height_attention: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -95,6 +104,14 @@ class HRNetOCRSeg(nn.Module):
         feats = HRNet(HRNET_SPECS[self.arch], dtype=self.dtype, name="backbone")(
             x.astype(self.dtype), train
         )
+        if self.height_attention:
+            from contrastiveseg_tpu.models.attention import HANetConv
+
+            feats = [
+                f + HANetConv(f.shape[-1], dtype=self.dtype, name=f"ha{i + 1}")(
+                    f, train)
+                for i, f in enumerate(feats)
+            ]
         h, w = feats[0].shape[1], feats[0].shape[2]
         cat = jnp.concatenate(
             [feats[0]]
@@ -246,6 +263,8 @@ for _w in (18, 32, 48, 64):
     )
     # mem == contrast at the module level; queues live in the train state.
     MODELS.register(f"hrnet_w{_w}_mem")(_hrnet_variant(f"hrnet{_w}", with_proj=True))
+# HighResolutionNext backbone (hrnet_backbone.py:791-798).
+MODELS.register("hrnet2x20")(_hrnet_variant("hrnet2x20"))
 
 MODELS.register("deeplab_v3")(_deeplab_variant())
 MODELS.register("deeplab_v3_contrast")(_deeplab_variant(with_proj=True))
@@ -274,6 +293,11 @@ for _w in (18, 32, 48, 64):
     MODELS.register(f"hrnet_w{_w}_ocr_b")(
         _hrnet_ocr_variant(f"hrnet{_w}", mid_channels=256, key_channels=128)
     )
+    # + HANet height attention (nets/hrnet.py:301-365, model_manager.py:81).
+    MODELS.register(f"hrnet_w{_w}_ocr_b_ha")(
+        _hrnet_ocr_variant(f"hrnet{_w}", mid_channels=256, key_channels=128,
+                           height_attention=True)
+    )
 
 
 class ResNetContextNet(nn.Module):
@@ -286,7 +310,7 @@ class ResNetContextNet(nn.Module):
     """
 
     num_classes: int
-    context: str = "none"  # none | base_oc | asp_oc | isa | psp
+    context: str = "none"  # none | base_oc | asp_oc | isa | psp | cc
     arch: str = "resnet101_dilated8"
     upsample_out: bool = True
     dtype: Any = jnp.float32
@@ -315,6 +339,10 @@ class ResNetContextNet(nn.Module):
             f = ASPOCModule(512, dtype=self.dtype, name="context")(c4, train)
         elif self.context == "psp":
             f = PSPModule(512, dtype=self.dtype, name="context")(c4, train)
+        elif self.context == "cc":
+            from contrastiveseg_tpu.models.attention import CCModule
+
+            f = CCModule(512, dtype=self.dtype, name="context")(c4, train)
         else:
             f = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
                        name="conv3x3")(c4, train)
@@ -355,6 +383,7 @@ MODELS.register("asp_ocnet")(_context_variant("asp_oc"))
 MODELS.register("isanet")(_context_variant("isa"))
 MODELS.register("pspnet")(_context_variant("psp"))
 MODELS.register("spatial_asp_ocrnet")(_context_variant("asp_oc"))
+MODELS.register("ccnet")(_context_variant("cc"))
 
 
 class SegFixHRNet(nn.Module):

@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -36,6 +37,17 @@ class ResNetSpec:
     deep_base: bool = True
     dilate_scale: int | None = None  # None | 8 | 16
     multi_grid: tuple[int, ...] | None = (1, 1, 1)
+    # resnext-style grouped 3x3 convs (cardinality) and base width
+    # (resnet_backbone.py:121-290 resnext101_32x4d etc.).
+    groups: int = 1
+    width_per_group: int = 64
+    # wide_resnet-style width multiplier on the bottleneck 3x3.
+    width_mult: float = 1.0
+    # Deformable conv2 in layer4 (the reference keeps DCN resnets
+    # commented out, resnet_backbone.py:241-259 — opt-in here).
+    dcn_layer4: bool = False
+    # ResNeSt split-attention (radix) on the bottleneck 3x3.
+    radix: int = 0
 
 
 RESNET_SPECS: dict[str, ResNetSpec] = {
@@ -45,6 +57,16 @@ RESNET_SPECS: dict[str, ResNetSpec] = {
     "resnet101_dilated8": ResNetSpec((3, 4, 23, 3), dilate_scale=8),
     "resnet101_dilated16": ResNetSpec((3, 4, 23, 3), dilate_scale=16),
     "resnet152": ResNetSpec((3, 8, 36, 3), deep_base=False),
+    # Variant families (resnet_backbone.py:121-290).
+    "resnext101_dilated8": ResNetSpec(
+        (3, 4, 23, 3), deep_base=False, dilate_scale=8,
+        groups=32, width_per_group=4),
+    "wide_resnet101_dilated8": ResNetSpec(
+        (3, 4, 23, 3), deep_base=False, dilate_scale=8, width_mult=2.0),
+    "resnest101_dilated8": ResNetSpec(
+        (3, 4, 23, 3), dilate_scale=8, radix=2, width_per_group=64),
+    "resnet101_dilated8_dcn": ResNetSpec(
+        (3, 4, 23, 3), dilate_scale=8, dcn_layer4=True),
 }
 
 
@@ -72,6 +94,152 @@ def _stage_plan(spec: ResNetSpec):
     return plan
 
 
+class DeformConvBN(nn.Module):
+    """DCNv2 conv + BN [+ ReLU]: offsets/masks from a zero-init regular
+    conv, sampling via ops/deform_conv (bilinear gathers + MXU matmul)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    dilation: int = 1
+    use_relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        from contrastiveseg_tpu.models.layers import TorchBatchNorm
+        from contrastiveseg_tpu.ops.deform_conv import deform_conv2d
+
+        k = self.kernel_size
+        pad = self.dilation * (k - 1) // 2
+        common = dict(padding=[(pad, pad), (pad, pad)],
+                      kernel_dilation=(self.dilation, self.dilation),
+                      dtype=self.dtype)
+        # Zero-init offsets/masks: starts as an exact dilated conv.
+        off = nn.Conv(2 * k * k, (k, k), kernel_init=nn.initializers.zeros,
+                      name="offset", **common)(x)
+        mask = jax.nn.sigmoid(
+            nn.Conv(k * k, (k, k), kernel_init=nn.initializers.zeros,
+                    name="mask", **common)(x))
+        weight = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features), self.dtype)
+        y = deform_conv2d(x, off, weight, mask, stride=self.strides,
+                          dilation=self.dilation)
+        y = TorchBatchNorm(dtype=self.dtype, name="norm")(y, train)
+        return nn.relu(y) if self.use_relu else y
+
+
+class SplitAttentionConv(nn.Module):
+    """ResNeSt split-attention 3x3 (radix splits, softmax-weighted fusion).
+
+    Core of resnest101 (resnet_backbone.py:270-290's backbone).  Documented
+    divergences: strided conv instead of avg-pool downsampling (avd), and
+    cardinality folded into the grouped conv only (attention MLP ungrouped).
+    """
+
+    features: int
+    radix: int = 2
+    groups: int = 1
+    strides: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        from contrastiveseg_tpu.models.layers import TorchBatchNorm
+
+        r, f = self.radix, self.features
+        pad = self.dilation
+        y = nn.Conv(f * r, (3, 3), strides=(self.strides, self.strides),
+                    padding=[(pad, pad), (pad, pad)],
+                    kernel_dilation=(self.dilation, self.dilation),
+                    feature_group_count=self.groups * r, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        y = TorchBatchNorm(dtype=self.dtype, name="norm")(y, train)
+        y = nn.relu(y)
+        B, H, W, _ = y.shape
+        splits = y.reshape(B, H, W, r, f)
+        gap = jnp.mean(jnp.sum(splits, axis=3), axis=(1, 2))  # [B, f]
+        inter = max(f * r // 4, 32)
+        a = nn.Dense(inter, dtype=self.dtype, name="fc1")(gap)
+        a = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, dtype=self.dtype,
+                                 name="fc_bn")(a))
+        a = nn.Dense(f * r, dtype=self.dtype, name="fc2")(a)
+        att = jax.nn.softmax(a.reshape(B, r, f), axis=1)  # rSoftMax
+        out = jnp.sum(splits * att[:, None, None, :, :], axis=3)
+        return out
+
+
+class VariantBottleneck(nn.Module):
+    """Bottleneck generalized over resnext groups, wide width, DCN conv2,
+    and ResNeSt split-attention (resnet_backbone.py:121-290 families)."""
+
+    features: int
+    strides: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    groups: int = 1
+    width_per_group: int = 64
+    width_mult: float = 1.0
+    use_dcn: bool = False
+    radix: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        width = int(
+            self.features * (self.width_per_group / 64.0)
+            * self.groups * self.width_mult
+        )
+        residual = x
+        out = ConvBN(width, 1, 1, use_relu=True, dtype=self.dtype,
+                     name="conv1")(x, train)
+        if self.radix > 0:
+            out = SplitAttentionConv(
+                width, radix=self.radix, groups=self.groups,
+                strides=self.strides, dilation=self.dilation,
+                dtype=self.dtype, name="conv2")(out, train)
+        elif self.use_dcn:
+            out = DeformConvBN(width, 3, self.strides, self.dilation,
+                               use_relu=True, dtype=self.dtype,
+                               name="conv2")(out, train)
+        else:
+            out = _GroupedConvBN(width, self.strides, self.dilation,
+                                 self.groups, dtype=self.dtype,
+                                 name="conv2")(out, train)
+        out = ConvBN(self.features * 4, 1, 1, use_relu=False,
+                     dtype=self.dtype, name="conv3")(out, train)
+        if self.downsample:
+            residual = ConvBN(self.features * 4, 1, self.strides,
+                              use_relu=False, dtype=self.dtype,
+                              name="downsample")(x, train)
+        return nn.relu(out + residual)
+
+
+class _GroupedConvBN(nn.Module):
+    features: int
+    strides: int
+    dilation: int
+    groups: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        from contrastiveseg_tpu.models.layers import TorchBatchNorm
+
+        pad = self.dilation
+        y = nn.Conv(self.features, (3, 3),
+                    strides=(self.strides, self.strides),
+                    padding=[(pad, pad), (pad, pad)],
+                    kernel_dilation=(self.dilation, self.dilation),
+                    feature_group_count=self.groups, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        y = TorchBatchNorm(dtype=self.dtype, name="norm")(y, train)
+        return nn.relu(y)
+
+
 class ResNet(nn.Module):
     """Returns [stem, pooled, c1, c2, c3, c4] features (NHWC)."""
 
@@ -80,8 +248,9 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> list[jnp.ndarray]:
+        spec = self.spec
         feats = []
-        if self.spec.deep_base:
+        if spec.deep_base:
             x = ConvBN(64, 3, 2, use_relu=True, dtype=self.dtype, name="stem1")(x, train)
             x = ConvBN(64, 3, 1, use_relu=True, dtype=self.dtype, name="stem2")(x, train)
             x = ConvBN(128, 3, 1, use_relu=True, dtype=self.dtype, name="stem3")(x, train)
@@ -90,13 +259,26 @@ class ResNet(nn.Module):
         feats.append(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         feats.append(x)
-        for si, (w, n, stride, dil) in enumerate(_stage_plan(self.spec)):
+        is_variant = (spec.groups != 1 or spec.width_mult != 1.0
+                      or spec.dcn_layer4 or spec.radix > 0)
+        for si, (w, n, stride, dil) in enumerate(_stage_plan(spec)):
             for b in range(n):
                 s = stride if b == 0 else 1
                 need_ds = b == 0 and (s != 1 or x.shape[-1] != w * 4)
-                x = Bottleneck(
-                    w, strides=s, dilation=dil[b], downsample=need_ds,
-                    dtype=self.dtype, name=f"layer{si + 1}_block{b}",
-                )(x, train)
+                if is_variant:
+                    x = VariantBottleneck(
+                        w, strides=s, dilation=dil[b], downsample=need_ds,
+                        groups=spec.groups,
+                        width_per_group=spec.width_per_group,
+                        width_mult=spec.width_mult,
+                        use_dcn=spec.dcn_layer4 and si == 3,
+                        radix=spec.radix, dtype=self.dtype,
+                        name=f"layer{si + 1}_block{b}",
+                    )(x, train)
+                else:
+                    x = Bottleneck(
+                        w, strides=s, dilation=dil[b], downsample=need_ds,
+                        dtype=self.dtype, name=f"layer{si + 1}_block{b}",
+                    )(x, train)
             feats.append(x)
         return feats

@@ -48,16 +48,21 @@ def deform_conv2d(
     weight: jnp.ndarray,  # [kh, kw, Cin, Cout]
     mask: jnp.ndarray | None = None,  # [B, H, W, kh*kw] modulation (v2)
     stride: int = 1,
+    dilation: int = 1,
 ) -> jnp.ndarray:
-    """Deformable conv (DCNv1; pass `mask` for v2 modulation)."""
+    """Deformable conv (DCNv1; pass `mask` for v2 modulation).
+
+    `dilation` spaces the base sampling grid (zero offsets == a standard
+    dilated conv), so DCN can drop into dilated-8 resnet stages.
+    """
     B, H, W, Cin = x.shape
     kh, kw, _, Cout = weight.shape
     oh, ow = H // stride, W // stride
 
     base_y = jnp.arange(oh) * stride
     base_x = jnp.arange(ow) * stride
-    ky = jnp.arange(kh) - (kh - 1) / 2.0
-    kx = jnp.arange(kw) - (kw - 1) / 2.0
+    ky = (jnp.arange(kh) - (kh - 1) / 2.0) * dilation
+    kx = (jnp.arange(kw) - (kw - 1) / 2.0) * dilation
     # grid coords [oh, ow, kh, kw]
     gy = base_y[:, None, None, None] + ky[None, None, :, None]
     gx = base_x[None, :, None, None] + kx[None, None, None, :]

@@ -75,3 +75,68 @@ def test_ideal_ocrnet_variants_differ():
     for i, a in enumerate(names):
         for b in names[i + 1:]:
             assert not np.allclose(outs[a], outs[b], atol=1e-5), (a, b)
+
+
+def test_ccnet():
+    """CCNet head consumes ops/cc_attention (VERDICT.md weak-3 wiring)."""
+    out, hw = _run(MODELS.build("ccnet", _cfg("ccnet")))
+    assert out["seg"].shape == (1, *hw, 4)
+    assert out["seg_aux"].shape == (1, *hw, 4)
+    assert np.isfinite(np.asarray(out["seg"])).all()
+
+
+def test_variant_bottleneck_backbones():
+    """resnext / wide / resnest / dcn bottleneck families (tiny depths)."""
+    from contrastiveseg_tpu.models.resnet import ResNet, ResNetSpec
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 32, 64, 3), dtype=np.float32))
+    specs = {
+        "resnext": ResNetSpec((1, 1, 1, 1), deep_base=False, dilate_scale=8,
+                              groups=8, width_per_group=4),
+        "wide": ResNetSpec((1, 1, 1, 1), deep_base=False, dilate_scale=8,
+                           width_mult=2.0),
+        "resnest": ResNetSpec((1, 1, 1, 1), deep_base=False, dilate_scale=8,
+                              radix=2),
+        "dcn": ResNetSpec((1, 1, 1, 1), deep_base=False, dilate_scale=8,
+                          dcn_layer4=True),
+    }
+    for name, spec in specs.items():
+        m = ResNet(spec)
+        v = m.init(jax.random.key(0), x, train=False)
+        feats = m.apply(v, x, train=False)
+        assert feats[-1].shape == (1, 4, 8, 2048), (name, feats[-1].shape)
+        assert np.isfinite(np.asarray(feats[-1])).all(), name
+
+
+def test_hanet_ocr():
+    """hrnet_w48_ocr_b_ha counterpart (HANet height attention)."""
+    out, hw = _run(MODELS.build(
+        "hrnet_w18_ocr_b_ha", _cfg("hrnet_w18_ocr_b_ha", backbone="hrnet18")))
+    assert out["seg"].shape == (1, *hw, 4)
+    assert out["seg_aux"].shape == (1, *hw, 4)
+
+
+def test_hrnet2x20_backbone():
+    from contrastiveseg_tpu.models.backbone_selector import build_backbone
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 32, 64, 3), dtype=np.float32))
+    m = build_backbone("hrnet2x20")
+    v = m.init(jax.random.key(0), x, train=False)
+    feats = m.apply(v, x, train=False)
+    assert [f.shape[-1] for f in feats] == [20, 40, 80, 160, 320]
+    assert feats[0].shape[1:3] == (16, 32)  # stride 2 base resolution
+
+
+def test_mobilenet_v1_v3():
+    from contrastiveseg_tpu.models.backbone_selector import build_backbone
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 32, 64, 3), dtype=np.float32))
+    for name, main_ch in (("mobilenetv1_dilated8", 1024),
+                          ("mobilenetv3_dilated8", 960)):
+        m = build_backbone(name)
+        v = m.init(jax.random.key(0), x, train=False)
+        feats = m.apply(v, x, train=False)
+        assert feats[-1].shape == (1, 4, 8, main_ch), (name, feats[-1].shape)

@@ -1,0 +1,85 @@
+"""Tester inference modes, incl. the newly wired crf_ss_test and
+ms_test_depth (reference segmentor/tester.py:147-167,425-503,535-575)."""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from PIL import Image
+
+from contrastiveseg_tpu.engine.tester import Tester
+from contrastiveseg_tpu.utils.config import Config
+
+C = 4
+
+
+class TinySeg(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        return {"seg": nn.Conv(C, (3, 3), padding=1, name="cls")(x)}
+
+
+def _tester(**over):
+    cfg = Config.from_args(overrides=[f"data.num_classes={C}"])
+    for k, v in over.items():
+        cfg = cfg.updated(k, v)
+    model = TinySeg()
+    x = jnp.zeros((1, 16, 32, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    state = types.SimpleNamespace(params=variables["params"], batch_stats={})
+    return Tester(cfg, model, state)
+
+
+def _img(b=1, h=16, w=32):
+    return jnp.asarray(
+        np.random.default_rng(0).standard_normal((b, h, w, 3), dtype=np.float32))
+
+
+def test_ss_and_ms_modes():
+    t = _tester()
+    x = _img()
+    assert t.ss_test(x).shape == (1, 16, 32, C)
+    assert t.ms_test(x).shape == (1, 16, 32, C)
+
+
+def test_sscrop_mode():
+    t = _tester()
+    out = t.sscrop_test(_img(), (8, 16))
+    assert out.shape == (1, 16, 32, C)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_crf_ss_mode():
+    t = _tester(**{"test.mode": "crf_ss_test"})
+    out = np.asarray(t.infer(_img()))
+    assert out.shape == (1, 16, 32, C)
+    assert np.isfinite(out).all()
+    # CRF output is a probability field.
+    np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-4)
+
+
+def test_ms_test_depth_fallback_matches_ms_test():
+    """Without a stereo map the depth fusion degrades to uniform ms_test."""
+    t = _tester(**{"test.mode": "ms_test_depth"})
+    x = _img()
+    depth = np.asarray(t.ms_test_depth(x, metas=[{"name": "missing"}]))
+    plain = np.asarray(t.ms_test(x))
+    np.testing.assert_allclose(depth, plain, atol=1e-4)
+
+
+def test_ms_test_depth_with_stereo(tmp_path):
+    t = _tester(**{"test.mode": "ms_test_depth",
+                   "test.stereo_path": str(tmp_path)})
+    x = _img()
+    # 16-bit disparity PNG (raw/256 -> depth) at image resolution.
+    raw = (np.random.default_rng(1).integers(256, 60000, size=(16, 32))
+           .astype(np.uint16))
+    Image.fromarray(raw).save(tmp_path / "frame.png")
+    out = np.asarray(t.ms_test_depth(x, metas=[{"name": "frame"}]))
+    assert out.shape == (1, 16, 32, C)
+    assert np.isfinite(out).all()
+    # Depth weighting must differ from the uniform fusion.
+    plain = np.asarray(t.ms_test(x))
+    assert not np.allclose(out, plain, atol=1e-4)

@@ -20,6 +20,11 @@ def trainer():
             "sitecustomize pins JAX_PLATFORMS=axon before conftest runs)"
         )
     cfg = get_preset("smoke_hrnet_w18")
+    # SWA + gradient clipping wired through config (VERDICT.md weak-3):
+    # with max_iters=2 the SWA trigger fires at iter 2, then the trainer
+    # swaps to averaged params and re-estimates BN.
+    cfg = cfg.updated("lr.lr_policy", "swa_lambda_poly")
+    cfg = cfg.updated("network.clip_grad_norm", 10.0)
     # Batch divisible by the 8-device mesh; tiny images for CPU speed.
     cfg = cfg.updated("train.batch_size", 8)
     cfg = cfg.updated("val.batch_size", 8)

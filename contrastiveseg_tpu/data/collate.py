@@ -63,10 +63,33 @@ def collate(
         tw = max(s["image"].shape[1] for s in samples)
         th = max(s["image"].shape[0] for s in samples)
     elif size_mode == "diverse_size":
-        # No stacking: caller handles per-image batches.
-        raise NotImplementedError(
-            "diverse_size is handled by the eval loop, not collate"
-        )
+        # ADE20K-style per-image eval (collate.py:37-60 diverse branch +
+        # DataHelper scatter, data_helper.py:93-117): keep every image at
+        # its own size; fit_stride pads each individually (label -1, img 0)
+        # so XLA compiles one program per padded shape.
+        out_lists: dict[str, list] = {}
+        metas = []
+        for s in samples:
+            item = {k: v for k, v in s.items() if k != "meta"}
+            meta = dict(s.get("meta", {}))
+            h, w = item["image"].shape[:2]
+            meta["input_size"] = [w, h]
+            if fit_stride:
+                ph = -h % fit_stride
+                pw = -w % fit_stride
+                if ph or pw:
+                    for k, v in item.items():
+                        widths = [(0, ph), (0, pw)]
+                        if v.ndim == 3:
+                            widths.append((0, 0))
+                        item[k] = np.pad(v, widths,
+                                         constant_values=_PAD_VALUES.get(k, 0))
+            for k, v in item.items():
+                out_lists.setdefault(k, []).append(v)
+            metas.append(meta)
+        batch = dict(out_lists)
+        batch["meta"] = metas
+        return batch
     else:
         raise NotImplementedError(f"size mode {size_mode!r}")
 

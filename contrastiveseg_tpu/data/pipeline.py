@@ -76,6 +76,11 @@ class DataPipeline:
             s["image"] = self.normalizer(s["image"])
             samples.append(s)
         batch = collate(samples, rng=rng, **self.collate_kwargs)
+        if isinstance(batch["image"], list):  # diverse_size: per-image eval
+            batch["image"] = [x.astype(np.float32) for x in batch["image"]]
+            if "label" in batch:
+                batch["label"] = [x.astype(np.int32) for x in batch["label"]]
+            return batch
         if "label" in batch:
             batch["label"] = batch["label"].astype(np.int32)
         batch["image"] = batch["image"].astype(np.float32)

@@ -1,17 +1,25 @@
-"""Validation evaluator: jitted forward + confusion accumulation.
+"""Validation evaluators: jitted forward + task-specific scoring.
 
-Re-implements the reference __val path (trainer_contrastive.py:306-401 +
-segmentor/tools/evaluator/*): per batch, logits are upsampled (bilinear
-align_corners) to label resolution, argmaxed, and scored into a confusion
-matrix.  The matrix is computed on device (ops/confusion.py) per batch; the
-host accumulates int64.  Under a mesh the batch is sharded and the device
-matrix already aggregates globally (XLA psum).
+Re-implements the reference __val path (trainer_contrastive.py:306-401) and
+its evaluator task plugins (segmentor/tools/evaluator/tasks.py:22-246):
+
+  * ``Evaluator`` — the seg task: upsampled argmax into a device confusion
+    matrix (SegTask);
+  * LIP flip-average eval (``flip_average`` + ``flip_pairs``): average the
+    logits of the image and its horizontal flip with left/right channel
+    swaps (trainer_contrastive.py:320-346, data_helper.py:69-91);
+  * diverse-size (ADE20K) eval: per-image forward at the image's own
+    padded shape (trainer_contrastive.py:348-360's scatter, reshaped for
+    XLA's per-shape program cache);
+  * ``SegFixEvaluator`` — the mask + direction tasks (MaskTask /
+    DirectionTask): boundary-mask accuracy and direction accuracy under
+    both predicted-mask and GT-mask gating.
 """
 
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -22,15 +30,32 @@ from contrastiveseg_tpu.ops.confusion import confusion_matrix
 from contrastiveseg_tpu.ops.resize import resize_bilinear_align_corners
 
 
-def make_val_step(model, num_classes: int):
+def _swap_channels(seg: jnp.ndarray, pairs: Sequence[tuple[int, int]]):
+    """Swap left/right class channels of flipped logits (LIP eval)."""
+    perm = np.arange(seg.shape[-1])
+    for a, b in pairs:
+        perm[a], perm[b] = perm[b], perm[a]
+    return seg[..., perm]
+
+
+def make_val_step(model, num_classes: int, flip_average: bool = False,
+                  flip_pairs: Sequence[tuple[int, int]] = ()):
     """Returns jitted (params, batch_stats, images, labels) -> confusion."""
+
+    def forward(variables, images):
+        out = model.apply(variables, images, train=False)
+        return out["seg"] if isinstance(out, dict) else out
 
     def val_step(params, batch_stats, images, labels):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        out = model.apply(variables, images, train=False)
-        seg = out["seg"] if isinstance(out, dict) else out
+        seg = forward(variables, images)
+        if flip_average:
+            seg_f = forward(variables, images[:, :, ::-1, :])[:, :, ::-1, :]
+            if flip_pairs:
+                seg_f = _swap_channels(seg_f, flip_pairs)
+            seg = 0.5 * (seg + seg_f)
         seg = resize_bilinear_align_corners(
             seg, (labels.shape[1], labels.shape[2])
         )
@@ -41,9 +66,14 @@ def make_val_step(model, num_classes: int):
 
 
 class Evaluator:
-    def __init__(self, model, num_classes: int, shard_fn: Optional[Callable] = None):
+    def __init__(self, model, num_classes: int,
+                 shard_fn: Optional[Callable] = None,
+                 flip_average: bool = False,
+                 flip_pairs: Sequence[tuple[int, int]] = ()):
         self.num_classes = num_classes
-        self.val_step = make_val_step(model, num_classes)
+        self.val_step = make_val_step(model, num_classes,
+                                      flip_average=flip_average,
+                                      flip_pairs=flip_pairs)
         self.score = RunningScore(num_classes)
         self.shard_fn = shard_fn
 
@@ -52,6 +82,14 @@ class Evaluator:
         n_images = 0
         t0 = time.time()
         for batch in batches:
+            if isinstance(batch["image"], (list, tuple)):
+                # diverse_size: one program per padded image shape.
+                for img, lab in zip(batch["image"], batch["label"]):
+                    cm = self.val_step(params, batch_stats,
+                                       img[None], lab[None])
+                    self.score.update_confusion(np.asarray(cm))
+                    n_images += 1
+                continue
             b = {"image": batch["image"], "label": batch["label"]}
             if self.shard_fn is not None:
                 b = self.shard_fn(b)
@@ -61,3 +99,102 @@ class Evaluator:
         scores = self.score.get_scores()
         scores["images_per_sec"] = n_images / max(time.time() - t0, 1e-9)
         return scores
+
+
+class SegFixEvaluator:
+    """MaskTask + DirectionTask validation (tasks.py:47-152).
+
+    The model outputs stride-level ``mask`` (2ch) and ``dir``
+    (num_directions ch); ground truth mask/dir labels ride in the batch
+    (data/loaders_extra.DTOffsetDataset).  Reports:
+      * ``mask_acc``   — boundary-mask pixel accuracy;
+      * ``dir_acc_mask`` — direction accuracy on pixels the *predicted*
+        mask marks as boundary ('dir (mask)');
+      * ``dir_acc_gt``   — direction accuracy with wrong-mask pixels
+        counted as an extra error class ('dir (GT)', the headline metric).
+    """
+
+    def __init__(self, model, num_directions: int = 8,
+                 shard_fn: Optional[Callable] = None):
+        self.num_directions = num_directions
+        self.shard_fn = shard_fn
+
+        def val_step(params, batch_stats, images, hw):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(variables, images, train=False)
+            mask = resize_bilinear_align_corners(out["mask"], hw)
+            direction = resize_bilinear_align_corners(out["dir"], hw)
+            return (jnp.argmax(mask, -1).astype(jnp.int32),
+                    jnp.argmax(direction, -1).astype(jnp.int32))
+
+        self._val_step = jax.jit(val_step, static_argnums=(3,))
+        self.reset()
+
+    def reset(self):
+        self.mask_score = RunningScore(2)
+        self.dir_mask_score = RunningScore(self.num_directions)
+        self.dir_gt_score = RunningScore(self.num_directions + 1)
+
+    def run(self, params, batch_stats, batches) -> dict:
+        self.reset()
+        n_images = 0
+        t0 = time.time()
+        for batch in batches:
+            if self.shard_fn is not None:
+                batch = {**batch, **self.shard_fn(
+                    {"image": batch["image"]})}
+            gt_mask = np.asarray(batch["mask_label"])
+            gt_dir = np.asarray(batch["dir_label"])
+            hw = (gt_mask.shape[1], gt_mask.shape[2])
+            mask_pred, dir_pred = self._val_step(
+                params, batch_stats, batch["image"], hw)
+            mask_pred = np.asarray(mask_pred)
+            dir_pred = np.asarray(dir_pred)
+
+            self.mask_score.update(mask_pred, gt_mask)  # -1 gt is ignored
+
+            # 'dir (mask)': GT direction, ignored where predicted mask = 0.
+            dir_gt_masked = np.where(mask_pred == 1, gt_dir, -1)
+            self.dir_mask_score.update(dir_pred, dir_gt_masked)
+
+            # 'dir (GT)': predicted direction, with non-boundary
+            # predictions mapped to the extra class (tasks.py:139-149).
+            dir_pred_gt = np.where(mask_pred == 1, dir_pred,
+                                   self.num_directions)
+            self.dir_gt_score.update(dir_pred_gt, gt_dir)
+            n_images += np.asarray(batch["image"]).shape[0]
+
+        scores = {
+            "mask_acc": self.mask_score.get_scores()["pixel_acc"],
+            "dir_acc_mask": self.dir_mask_score.get_scores()["pixel_acc"],
+            "dir_acc_gt": self.dir_gt_score.get_scores()["pixel_acc"],
+            "images_per_sec": n_images / max(time.time() - t0, 1e-9),
+        }
+        # Headline metric for checkpoint save_by_mode parity with seg.
+        scores["miou"] = scores["dir_acc_gt"]
+        scores["pixel_acc"] = scores["mask_acc"]
+        return scores
+
+
+def build_evaluator(cfg, model, shard_fn=None):
+    """Pick the task evaluator from config (evaluator/__init__.py:11)."""
+    kind = cfg.get("val.evaluator", default=None)
+    if kind is None:
+        kind = ("segfix" if cfg.get("network.model_name", default="")
+                .startswith("segfix") else "seg")
+    if kind == "segfix":
+        return SegFixEvaluator(
+            model,
+            num_directions=cfg.get("segfix.num_directions", default=8),
+            shard_fn=shard_fn,
+        )
+    return Evaluator(
+        model,
+        cfg.get("data.num_classes"),
+        shard_fn=shard_fn,
+        flip_average=cfg.get("val.flip_average", default=False),
+        flip_pairs=[tuple(p) for p in
+                    cfg.get("data.label_pairs", default=[]) or []],
+    )

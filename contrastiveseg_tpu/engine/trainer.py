@@ -18,7 +18,6 @@ import numpy as np
 
 from contrastiveseg_tpu.data.pipeline import build_pipeline
 from contrastiveseg_tpu.engine.checkpoint import CheckpointManager
-from contrastiveseg_tpu.engine.evaluator import Evaluator
 from contrastiveseg_tpu.engine.optim import build_optimizer
 from contrastiveseg_tpu.engine.state import create_train_state
 from contrastiveseg_tpu.engine.train_step import make_train_step
@@ -104,9 +103,11 @@ class Trainer:
             ),
             donate=cfg.get("network.donate", default=True),
         )
-        self.evaluator = Evaluator(
+        from contrastiveseg_tpu.engine.evaluator import build_evaluator
+
+        self.evaluator = build_evaluator(
+            cfg,
             self.model,
-            cfg.get("data.num_classes"),
             shard_fn=(
                 (lambda b: shard_batch(b, self.mesh)) if self.mesh else None
             ),

@@ -250,6 +250,10 @@ PRESETS["lip_ce2p_ocrnet"] = _merge(_CITYSCAPES_BASE, {
                 "bf16": False,
                 "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
     "loss": {"loss_type": "fs_auxce_loss", "params": {"ce_weight": None}},
+    # LIP validates with flip-averaged logits and L/R channel swaps
+    # (trainer_contrastive.py:320-346).
+    "val": {"flip_average": True},
+    "data": {"label_pairs": [[14, 15], [16, 17], [18, 19]]},
 })
 
 # SegFix offset training (configs/segfix/, H_SEGFIX.json).

@@ -1,0 +1,131 @@
+"""Evaluator task plugins: LIP flip-average, diverse-size per-image eval,
+and the SegFix mask/direction evaluator (reference tasks.py:22-246,
+trainer_contrastive.py:320-360)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from contrastiveseg_tpu.data.collate import collate
+from contrastiveseg_tpu.engine.evaluator import (
+    Evaluator,
+    SegFixEvaluator,
+    _swap_channels,
+)
+
+C = 4
+
+
+class TinySeg(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        return {"seg": nn.Conv(C, (3, 3), padding=1, name="cls")(x)}
+
+
+def _variables(model, shape=(1, 16, 32, 3)):
+    return model.init(jax.random.key(0), jnp.zeros(shape, jnp.float32))
+
+
+def test_swap_channels():
+    seg = jnp.arange(8, dtype=jnp.float32).reshape(1, 1, 1, 8)
+    out = np.asarray(_swap_channels(seg, [(1, 3), (5, 6)]))[0, 0, 0]
+    np.testing.assert_array_equal(out, [0, 3, 2, 1, 4, 6, 5, 7])
+
+
+class PointwiseSeg(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        return {"seg": nn.Conv(C, (1, 1), name="cls")(x)}
+
+
+def test_flip_average_equivariant_noop():
+    """A 1x1-conv model is flip-equivariant, so flip-average (no pairs)
+    must reproduce the plain eval exactly."""
+    model = PointwiseSeg()
+    v = _variables(model)
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((2, 16, 32, 3)).astype(np.float32)
+    lab = rng.integers(0, C, size=(2, 16, 32)).astype(np.int32)
+
+    plain = Evaluator(model, C)
+    avg = Evaluator(model, C, flip_average=True)
+    batch = [{"image": img, "label": lab}]
+    s0 = plain.run(v["params"], {}, batch)
+    s1 = avg.run(v["params"], {}, batch)
+    assert abs(s0["miou"] - s1["miou"]) < 1e-6
+
+
+def test_diverse_size_collate_and_eval():
+    rng = np.random.default_rng(1)
+    samples = [
+        {"image": rng.standard_normal((13, 27, 3)).astype(np.float32),
+         "label": rng.integers(0, C, size=(13, 27)).astype(np.int32)},
+        {"image": rng.standard_normal((20, 18, 3)).astype(np.float32),
+         "label": rng.integers(0, C, size=(20, 18)).astype(np.int32)},
+    ]
+    batch = collate(samples, size_mode="diverse_size", fit_stride=8)
+    assert isinstance(batch["image"], list)
+    assert batch["image"][0].shape == (16, 32, 3)  # padded to stride 8
+    assert batch["label"][0].shape == (16, 32)
+    # Padding region must be ignore (-1).
+    assert (batch["label"][0][13:, :] == -1).all()
+    assert (batch["label"][0][:, 27:] == -1).all()
+    assert batch["image"][1].shape == (24, 24, 3)
+
+    model = TinySeg()
+    v = _variables(model)
+    scores = Evaluator(model, C).run(v["params"], {}, [batch])
+    assert 0.0 <= scores["miou"] <= 1.0
+
+
+class FixedSegFix(nn.Module):
+    """Constant-prediction segfix net: mask=1 and dir=3 everywhere."""
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        scale = self.param("scale", nn.initializers.ones, ())
+        b, h, w = x.shape[0], x.shape[1] // 4, x.shape[2] // 4
+        mask = jnp.zeros((b, h, w, 2)).at[..., 1].set(scale)
+        direction = jnp.zeros((b, h, w, 8)).at[..., 3].set(scale)
+        return {"mask": mask, "dir": direction}
+
+
+def test_segfix_evaluator_constant_model():
+    model = FixedSegFix()
+    v = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3), jnp.float32))
+    rng = np.random.default_rng(2)
+    gt_mask = rng.integers(0, 2, size=(2, 32, 32)).astype(np.int32)
+    gt_mask[0, :2] = -1  # some ignore
+    gt_dir = rng.integers(0, 8, size=(2, 32, 32)).astype(np.int32)
+    gt_dir[gt_mask != 1] = -1
+    batch = {
+        "image": np.zeros((2, 32, 32, 3), np.float32),
+        "mask_label": gt_mask,
+        "dir_label": gt_dir,
+    }
+    ev = SegFixEvaluator(model, num_directions=8)
+    scores = ev.run(v["params"], {}, [batch])
+
+    valid = gt_mask >= 0
+    exp_mask_acc = (gt_mask[valid] == 1).mean()
+    assert abs(scores["mask_acc"] - exp_mask_acc) < 1e-6
+    dvalid = gt_dir >= 0
+    exp_dir_acc = (gt_dir[dvalid] == 3).mean()
+    assert abs(scores["dir_acc_gt"] - exp_dir_acc) < 1e-6
+    assert abs(scores["dir_acc_mask"] - exp_dir_acc) < 1e-6
+
+
+def test_build_evaluator_dispatch():
+    from contrastiveseg_tpu.engine.evaluator import build_evaluator
+    from contrastiveseg_tpu.utils.config import Config
+
+    cfg = Config.from_args(overrides=[
+        "data.num_classes=4", "network.model_name=segfix_hrnet"])
+    ev = build_evaluator(cfg, FixedSegFix())
+    assert isinstance(ev, SegFixEvaluator)
+    cfg2 = Config.from_args(overrides=[
+        "data.num_classes=4", "network.model_name=hrnet_w48",
+        "val.flip_average=true"])
+    ev2 = build_evaluator(cfg2, TinySeg())
+    assert isinstance(ev2, Evaluator)

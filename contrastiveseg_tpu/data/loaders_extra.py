@@ -124,14 +124,19 @@ class MultiDataset:
         raise IndexError(idx)
 
     def balanced_indices(self, epoch: int, seed: int = 0) -> np.ndarray:
-        """Equalized sampling across datasets (MultiDatasetTrainingSampler)."""
+        """MultiDatasetTrainingSampler semantics (multi_dataset_loader.py:
+        124-154): an epoch of ``m * max(sizes)`` indices where position i
+        always serves dataset ``i % m`` (round-robin interleave), each
+        dataset cycling its own shuffled permutation (short datasets
+        repeat).  Guarantees every batch of size k*m is dataset-balanced."""
         rng = np.random.default_rng(seed + epoch)
+        m = len(self.datasets)
         target = max(self.sizes)
-        idx = []
-        for off, n, w in zip(self.offsets, self.sizes, self.weights):
-            draws = int(round(target * w))
-            local = rng.choice(n, size=draws, replace=draws > n)
-            idx.append(local + off)
-        out = np.concatenate(idx)
-        rng.shuffle(out)
-        return out
+        cols = []
+        for off, n in zip(self.offsets, self.sizes):
+            reps = -(-target // n)
+            perm = np.concatenate(
+                [rng.permutation(n) for _ in range(reps)])[:target]
+            cols.append(perm + off)
+        # [target, m] row-major flatten = round-robin over datasets.
+        return np.stack(cols, axis=1).reshape(-1)

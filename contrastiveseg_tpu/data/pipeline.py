@@ -60,10 +60,14 @@ class DataPipeline:
         return -(-n // self.batch_size)
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            # Same permutation on every host; each host takes its stride.
-            np.random.default_rng(self.seed + epoch).shuffle(idx)
+        if self.shuffle and hasattr(self.dataset, "balanced_indices"):
+            # Multi-dataset balanced sampler (multi_dataset_loader.py:124).
+            idx = self.dataset.balanced_indices(epoch, self.seed)
+        else:
+            idx = np.arange(len(self.dataset))
+            if self.shuffle:
+                # Same permutation on every host; each host takes its stride.
+                np.random.default_rng(self.seed + epoch).shuffle(idx)
         return idx[self.shard_index :: self.num_shards]
 
     def _make_batch(self, indices, rng: np.random.Generator) -> dict:

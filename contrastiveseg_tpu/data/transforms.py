@@ -204,6 +204,91 @@ class RandomSaturation:
         return out
 
 
+def _rgb_to_hsv(img: np.ndarray) -> np.ndarray:
+    """Vectorized RGB [0,1] -> HSV with hue in degrees [0, 360)."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    mx = img.max(-1)
+    mn = img.min(-1)
+    c = mx - mn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        hue = np.where(
+            c == 0, 0.0,
+            np.where(mx == r, ((g - b) / c) % 6,
+                     np.where(mx == g, (b - r) / c + 2, (r - g) / c + 4)),
+        ) * 60.0
+        sat = np.where(mx == 0, 0.0, c / mx)
+    return np.stack([hue, sat, mx], axis=-1)
+
+
+def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
+    h, s, v = hsv[..., 0] / 60.0, hsv[..., 1], hsv[..., 2]
+    c = v * s
+    x = c * (1 - np.abs(h % 2 - 1))
+    m = v - c
+    z = np.zeros_like(c)
+    i = (np.floor(h).astype(int) % 6)[..., None]
+    rgb = np.select(
+        [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+        [np.stack([c, x, z], -1), np.stack([x, c, z], -1),
+         np.stack([z, c, x], -1), np.stack([z, x, c], -1),
+         np.stack([x, z, c], -1), np.stack([c, z, x], -1)],
+    )
+    return rgb + m[..., None]
+
+
+class RandomHue:
+    """Rotate HSV hue by a uniform delta in degrees
+    (cv2_aug_transforms.py:236-258; numpy HSV instead of cv2)."""
+
+    def __init__(self, delta=18, ratio=0.5):
+        assert 0 <= delta <= 360
+        self.delta = delta
+        self.ratio = ratio
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        if rng.random() > self.ratio:
+            return sample
+        hsv = _rgb_to_hsv(sample["image"].astype(np.float32) / 255.0)
+        hsv[..., 0] = (hsv[..., 0] + rng.uniform(-self.delta, self.delta)) % 360
+        out = dict(sample)
+        out["image"] = np.clip(
+            np.around(_hsv_to_rgb(hsv) * 255.0), 0, 255
+        ).astype(np.uint8)
+        return out
+
+
+class Padding:
+    """Pad (left, up, right, down) with image mean / label ignore
+    (cv2_aug_transforms.py:60-140).  Divergence: labels pad with -1 (our
+    native ignore id) instead of 255-then-ReLabel."""
+
+    def __init__(self, pad=(0, 0, 0, 0), ratio=0.5, mean=(104, 117, 123)):
+        self.pad = pad
+        self.ratio = ratio
+        self.mean = np.asarray(mean, np.float32)
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        if rng.random() > self.ratio:
+            return sample
+        left, up, right, down = self.pad
+        out = dict(sample)
+        img = sample["image"]
+        padded = np.empty(
+            (img.shape[0] + up + down, img.shape[1] + left + right, 3),
+            img.dtype)
+        padded[:] = self.mean.astype(img.dtype)
+        padded[up:up + img.shape[0], left:left + img.shape[1]] = img
+        out["image"] = padded
+        for k in NEAREST_KEYS:
+            if k in sample:
+                fill = -1 if k == "label" else 0
+                out[k] = np.pad(
+                    sample[k], [(up, down), (left, right)]
+                    + [(0, 0)] * (sample[k].ndim - 2),
+                    constant_values=fill)
+        return out
+
+
 class RandomPerm:
     """Random channel permutation (cv2_aug_transforms.py RandomPerm)."""
 
@@ -295,6 +380,30 @@ class Compose:
         return sample
 
 
+class ShuffledCompose:
+    """`shuffle_trans_seq` semantics (cv2_aug_transforms.py:725-731):
+    per sample, apply the shuffle group in random order (or pick one of a
+    list of groups) BEFORE the fixed sequence."""
+
+    def __init__(self, shuffle_groups, fixed: Sequence[Callable]):
+        # shuffle_groups: list[Callable] (shuffled) or list[list[Callable]]
+        # (one group sampled per call, applied in order).
+        self.shuffle_groups = shuffle_groups
+        self.fixed = list(fixed)
+        self.nested = bool(shuffle_groups) and isinstance(
+            shuffle_groups[0], (list, tuple))
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        if self.nested:
+            group = self.shuffle_groups[rng.integers(0, len(self.shuffle_groups))]
+        else:
+            group = [self.shuffle_groups[i]
+                     for i in rng.permutation(len(self.shuffle_groups))]
+        for t in list(group) + self.fixed:
+            sample = t(sample, rng)
+        return sample
+
+
 class Normalizer:
     """ToTensor + Normalize (lib/datasets/tools/transforms.py:15-110):
     div 255, subtract ImageNet mean, divide std.  Stays NHWC uint8->f32."""
@@ -342,6 +451,13 @@ _TRANSFORM_BUILDERS = {
         ratio=p.get("ratio", 0.5),
     ),
     "random_perm": lambda p: RandomPerm(ratio=p.get("ratio", 0.5)),
+    "random_hue": lambda p: RandomHue(
+        delta=p.get("delta", 18), ratio=p.get("ratio", 0.5)
+    ),
+    "padding": lambda p: Padding(
+        pad=p.get("pad", (0, 0, 0, 0)), ratio=p.get("ratio", 0.5),
+        mean=p.get("mean", (104, 117, 123)),
+    ),
     "random_rotate": lambda p: RandomRotate(
         max_degree=p.get("rotate_degree", 10), ratio=p.get("ratio", 0.5)
     ),
@@ -355,13 +471,21 @@ _TRANSFORM_BUILDERS = {
 
 
 def build_train_transforms(cfg, section: str = "train_trans") -> Compose:
-    """CV2AugCompose equivalent: builds from `trans_seq` config
-    (cv2_aug_transforms.py:654-903)."""
-    seq = cfg.get(f"{section}.trans_seq", default=[])
-    ts = []
-    for name in seq:
+    """CV2AugCompose equivalent: builds from `trans_seq` config, honoring
+    `shuffle_trans_seq` (cv2_aug_transforms.py:654-903)."""
+
+    def build_one(name: str):
         params = cfg.get(f"{section}.{name}", default={})
         if name not in _TRANSFORM_BUILDERS:
             raise KeyError(f"unknown transform {name!r}")
-        ts.append(_TRANSFORM_BUILDERS[name](params))
-    return Compose(ts)
+        return _TRANSFORM_BUILDERS[name](params)
+
+    fixed = [build_one(n) for n in cfg.get(f"{section}.trans_seq", default=[])]
+    shuffle = cfg.get(f"{section}.shuffle_trans_seq", default=None)
+    if not shuffle:
+        return Compose(fixed)
+    if shuffle and isinstance(shuffle[0], (list, tuple)):
+        groups = [[build_one(n) for n in grp] for grp in shuffle]
+    else:
+        groups = [build_one(n) for n in shuffle]
+    return ShuffledCompose(groups, fixed)

@@ -117,3 +117,113 @@ def test_synthetic_dataset_and_pipeline():
     assert b["image"].shape == (2, 32, 48, 3)
     assert b["image"].dtype == np.float32
     assert b["label"].dtype == np.int32
+
+
+def test_random_hue_roundtrip_and_range():
+    from contrastiveseg_tpu.data.transforms import RandomHue, _hsv_to_rgb, _rgb_to_hsv
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    # HSV conversion roundtrip is exact up to fp noise.
+    back = _hsv_to_rgb(_rgb_to_hsv(img.astype(np.float32) / 255.0))
+    np.testing.assert_allclose(back, img / 255.0, atol=1e-5)
+    out = RandomHue(delta=30, ratio=1.0)({"image": img}, rng)
+    assert out["image"].dtype == np.uint8
+    assert out["image"].shape == img.shape
+    # Hue rotation preserves value (max channel) exactly.
+    np.testing.assert_allclose(
+        out["image"].max(-1).astype(int), img.max(-1).astype(int), atol=1)
+
+
+def test_padding_transform():
+    from contrastiveseg_tpu.data.transforms import Padding
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(6, 8, 3)).astype(np.uint8)
+    lab = rng.integers(0, 4, size=(6, 8)).astype(np.int32)
+    out = Padding(pad=(2, 1, 3, 4), ratio=1.0)({"image": img, "label": lab}, rng)
+    assert out["image"].shape == (6 + 1 + 4, 8 + 2 + 3, 3)
+    assert out["label"].shape == (11, 13)
+    np.testing.assert_array_equal(out["label"][1:7, 2:10], lab)
+    assert (out["label"][0, :] == -1).all()
+    np.testing.assert_array_equal(out["image"][1:7, 2:10], img)
+
+
+def test_shuffle_trans_seq():
+    from contrastiveseg_tpu.data.transforms import build_train_transforms, ShuffledCompose
+    from contrastiveseg_tpu.utils.config import Config
+
+    cfg = Config({
+        "train_trans": {
+            "trans_seq": ["random_crop"],
+            "shuffle_trans_seq": ["random_brightness", "random_contrast"],
+            "random_crop": {"crop_size": [8, 8], "ratio": 1.0},
+            "random_brightness": {"shift_value": 10, "ratio": 1.0},
+            "random_contrast": {"ratio": 1.0},
+        }
+    })
+    t = build_train_transforms(cfg)
+    assert isinstance(t, ShuffledCompose)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    out = t({"image": img, "label": np.zeros((16, 16), np.int32)}, rng)
+    assert out["image"].shape == (8, 8, 3)
+
+
+def test_balanced_multi_dataset_sampler():
+    from contrastiveseg_tpu.data.loaders_extra import MultiDataset
+
+    class Fake:
+        def __init__(self, n, tag):
+            self.n, self.tag = n, tag
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {"image": np.zeros((4, 4, 3), np.uint8), "tag": self.tag}
+
+    md = MultiDataset([Fake(10, 0), Fake(3, 1)])
+    idx = md.balanced_indices(epoch=0, seed=0)
+    assert len(idx) == 2 * 10
+    # Round-robin: even positions serve dataset 0, odd serve dataset 1.
+    tags = np.asarray([md[int(i)]["tag"] for i in idx])
+    np.testing.assert_array_equal(tags[0::2], 0)
+    np.testing.assert_array_equal(tags[1::2], 1)
+    # The big dataset appears exactly once per cycle; the small one repeats.
+    big = idx[0::2]
+    assert len(np.unique(big)) == 10
+
+
+def test_prepare_ade20k_and_lip(tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from PIL import Image
+
+    import prepare_datasets as pd
+
+    # Fake ADE20K layout.
+    root = tmp_path / "ade"
+    for sub in ("training", "validation"):
+        (root / "images" / sub).mkdir(parents=True)
+        (root / "annotations" / sub).mkdir(parents=True)
+        for i in range(2):
+            Image.new("RGB", (8, 8)).save(
+                root / "images" / sub / f"im{i}.jpg")
+            Image.new("L", (8, 8)).save(
+                root / "annotations" / sub / f"im{i}.png")
+    counts = pd.prepare_ade20k(str(root), str(tmp_path / "ade_out"), link=False)
+    assert counts == {"train": 2, "val": 2}
+    assert (tmp_path / "ade_out" / "train" / "image" / "im0.jpg").exists()
+    assert (tmp_path / "ade_out" / "val" / "label" / "im1.png").exists()
+
+    # Fake LIP layout.
+    lroot = tmp_path / "lip"
+    for sub in ("train", "val"):
+        (lroot / f"{sub}_images").mkdir(parents=True)
+        (lroot / f"{sub}_segmentations").mkdir(parents=True)
+        Image.new("RGB", (8, 8)).save(lroot / f"{sub}_images" / "p.jpg")
+        Image.new("L", (8, 8)).save(lroot / f"{sub}_segmentations" / "p.png")
+    counts = pd.prepare_lip(str(lroot), str(tmp_path / "lip_out"), link=True)
+    assert counts == {"train": 1, "val": 1}

@@ -143,6 +143,7 @@ PRESETS["cityscapes_hrnet_w48_contrast"] = _merge(_CITYSCAPES_BASE, _CONTRAST_BL
                 "stride": 4, "bn_type": "sync", "bf16": False},
     "loss": {"loss_type": "contrast_ce_loss"},
     "contrast": {"stride": 4},
+    "solver": {"test_interval": 1000},  # H_48_D_4.json (MEM uses 2000)
 })
 
 # H_48_D_4_MEM.json: tau=0.07, max_views=1, memory on, loss_weight 1.
@@ -254,6 +255,58 @@ PRESETS["lip_ce2p_ocrnet"] = _merge(_CITYSCAPES_BASE, {
     # (trainer_contrastive.py:320-346).
     "val": {"flip_average": True},
     "data": {"label_pairs": [[14, 15], [16, 17], [18, 19]]},
+})
+
+# CamVid (configs/camvid/H_48_D_4.json): 12 classes, 480x360 crops.
+PRESETS["camvid_hrnet_w48_contrast"] = _merge(
+    _CITYSCAPES_BASE, _CONTRAST_BLOCK, {
+        "dataset": "camvid",
+        "data": {"num_classes": 12, "label_list": list(range(12)),
+                 "data_dir": "/data/camvid"},
+        "train": {"batch_size": 16,
+                  "data_transformer": {"input_size": [480, 360]}},
+        "val": {"data_transformer": {"input_size": [480, 360]}},
+        "train_trans": {"random_crop": {"crop_size": [480, 360]}},
+        "network": {"model_name": "hrnet_w48_contrast", "backbone": "hrnet48",
+                    "stride": 4, "bf16": False},
+        "loss": {"loss_type": "contrast_ce_loss",
+                 "params": {"ce_weight": None}},
+        "lr": {"base_lr": 0.001},
+        "solver": {"max_iters": 30000},
+        "contrast": {"temperature": 0.07, "stride": 4},
+    })
+
+# Mapillary Vistas (configs/mapillary/H_48_D_4_1024x1024.json): 65 classes.
+PRESETS["mapillary_hrnet_w48"] = _merge(_CITYSCAPES_BASE, {
+    "dataset": "mapillary",
+    "data": {"num_classes": 65, "label_list": list(range(65)),
+             "data_dir": "/data/mapillary"},
+    "train": {"batch_size": 8,
+              "data_transformer": {"input_size": [1024, 1024]}},
+    "val": {"data_transformer": {"input_size": [1024, 1024]}},
+    "train_trans": {"random_crop": {"crop_size": [1024, 1024]}},
+    "network": {"model_name": "hrnet_w48_ocr", "backbone": "hrnet48",
+                "stride": 4, "bf16": False,
+                "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+    "loss": {"loss_type": "fs_auxce_loss", "params": {"ce_weight": None}},
+    "solver": {"max_iters": 1000000},
+})
+
+# CelebAMask-HQ face parsing (configs/celeba/H_48_D_4.json): 19 classes.
+PRESETS["celeba_hrnet_w48"] = _merge(_CITYSCAPES_BASE, {
+    "dataset": "celeba",
+    "data": {"num_classes": 19, "label_list": None,
+             "reduce_zero_label": False, "data_dir": "/data/celeba"},
+    "train": {"batch_size": 16,
+              "data_transformer": {"input_size": [512, 512]}},
+    "val": {"data_transformer": {"input_size": [512, 512]}},
+    "train_trans": {"random_crop": {"crop_size": [512, 512]}},
+    "network": {"model_name": "hrnet_w48", "backbone": "hrnet48",
+                "stride": 4, "bf16": False,
+                "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+    "loss": {"loss_type": "fs_auxce_loss", "params": {"ce_weight": None}},
+    "lr": {"base_lr": 0.001},
+    "solver": {"max_iters": 150000},
 })
 
 # SegFix offset training (configs/segfix/, H_SEGFIX.json).

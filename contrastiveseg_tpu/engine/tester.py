@@ -224,6 +224,46 @@ class Tester:
             pred = out
         return pred
 
+    def test_offset(self, batches: Optional[Iterable[dict]] = None,
+                    out_dir: Optional[str] = None) -> int:
+        """SegFix offset-prediction test (reference tester_offset.py,
+        phase=test_offset): run the segfix net, write per-image ``.npz``
+        files with the predicted boundary ``mask`` and ``dir_label`` that
+        tools/segfix.py consumes."""
+        from contrastiveseg_tpu.data.pipeline import build_pipeline
+
+        out_dir = out_dir or self.cfg.get("test.out_dir", default="./out")
+        offset_dir = os.path.join(out_dir, "offset")
+        os.makedirs(offset_dir, exist_ok=True)
+
+        @jax.jit
+        def fwd(images):
+            variables = {"params": self.state.params}
+            if self.state.batch_stats:
+                variables["batch_stats"] = self.state.batch_stats
+            out = self.model.apply(variables, images, train=False)
+            return out["mask"], out["dir"]
+
+        if batches is None:
+            pipe = build_pipeline(self.cfg, "test")
+            batches = pipe.epoch_iter(0)
+
+        n = 0
+        for batch in batches:
+            mask_l, dir_l = fwd(jnp.asarray(batch["image"]))
+            for i, meta in enumerate(batch["meta"]):
+                ow, oh = meta["ori_size"]
+                m = resize_bilinear_align_corners(mask_l[i:i + 1], (oh, ow))[0]
+                d = resize_bilinear_align_corners(dir_l[i:i + 1], (oh, ow))[0]
+                mask = np.argmax(np.asarray(m), -1).astype(np.uint8)
+                dir_label = np.argmax(np.asarray(d), -1).astype(np.uint8)
+                name = meta.get("name", f"img_{n:06d}")
+                np.savez(os.path.join(offset_dir, f"{name}.npz"),
+                         mask=mask, dir_label=dir_label)
+                n += 1
+        self.log.info(f"wrote {n} offset predictions to {offset_dir}")
+        return n
+
     def test(self, batches: Optional[Iterable[dict]] = None,
              out_dir: Optional[str] = None, save_prob: bool = False) -> int:
         from contrastiveseg_tpu.data.pipeline import build_pipeline

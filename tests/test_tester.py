@@ -83,3 +83,40 @@ def test_ms_test_depth_with_stereo(tmp_path):
     # Depth weighting must differ from the uniform fusion.
     plain = np.asarray(t.ms_test(x))
     assert not np.allclose(out, plain, atol=1e-4)
+
+
+def test_test_offset_writes_npz(tmp_path):
+    """SegFix offset test path writes {name}.npz consumable by
+    tools/segfix.py apply (reference tester_offset.py)."""
+    import types
+
+    class TinySegFix(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            f = nn.Conv(8, (3, 3), padding=1, name="stem")(x[:, ::4, ::4])
+            return {"mask": nn.Conv(2, (1, 1), name="mask")(f),
+                    "dir": nn.Conv(8, (1, 1), name="dir")(f)}
+
+    cfg = Config.from_args(overrides=[
+        "data.num_classes=4", "network.model_name=segfix_hrnet",
+        f"test.out_dir={tmp_path}"])
+    model = TinySegFix()
+    x = jnp.zeros((1, 16, 32, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    state = types.SimpleNamespace(params=variables["params"], batch_stats={})
+    t = Tester(cfg, model, state)
+
+    batch = {
+        "image": np.random.default_rng(0).standard_normal(
+            (2, 16, 32, 3)).astype(np.float32),
+        "meta": [{"ori_size": (32, 16), "name": "a"},
+                 {"ori_size": (20, 10), "name": "b"}],
+    }
+    n = t.test_offset([batch])
+    assert n == 2
+    a = np.load(tmp_path / "offset" / "a.npz")
+    assert a["mask"].shape == (16, 32) and a["dir_label"].shape == (16, 32)
+    b = np.load(tmp_path / "offset" / "b.npz")
+    assert b["mask"].shape == (10, 20)
+    assert set(np.unique(a["mask"])) <= {0, 1}
+    assert a["dir_label"].max() < 8

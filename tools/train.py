@@ -62,7 +62,13 @@ def main() -> None:
     else:
         from contrastiveseg_tpu.engine.tester import Tester
 
-        Tester(cfg, trainer.model, trainer.state).test()
+        tester = Tester(cfg, trainer.model, trainer.state)
+        # SegFix nets emit boundary mask + direction (phase=test_offset in
+        # the reference, tester_offset.py); everyone else writes labels.
+        if cfg.get("network.model_name", default="").startswith("segfix"):
+            tester.test_offset()
+        else:
+            tester.test()
 
 
 if __name__ == "__main__":

@@ -68,22 +68,16 @@ class ASPP(nn.Module):
     project to 256.
     """
 
-    out_channels: int = 256
+    out_channels: int = 512
     rates: tuple[int, ...] = (12, 24, 36)
+    project_kernel: int = 3  # ASPPModule.project is a 3x3 (decoder_block.py:70-74)
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         h, w = x.shape[1], x.shape[2]
-        # Image-level pooling branch.
-        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        pooled = ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
-                        name="img_pool")(pooled, train)
-        pooled = jnp.broadcast_to(
-            pooled, (x.shape[0], h, w, self.out_channels)
-        )
         branches = [
-            pooled,
             ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
                    name="b0")(x, train),
         ]
@@ -92,10 +86,20 @@ class ASPP(nn.Module):
                 ConvBN(self.out_channels, 3, 1, dilation=r, use_relu=True,
                        dtype=self.dtype, name=f"b{i + 1}")(x, train)
             )
+        # Image-level pooling branch, upsampled back (b4, decoder_block.py:
+        # 64-68,83-84); a 1x1 average is shape-invariant so broadcast == the
+        # reference's align-corners upsample of a 1x1 map.
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        pooled = ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
+                        name="img_pool")(pooled, train)
+        branches.append(jnp.broadcast_to(
+            pooled, (x.shape[0], h, w, self.out_channels)))
         x = jnp.concatenate(branches, axis=-1)
-        x = ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
-                   name="project")(x, train)
-        x = nn.Dropout(0.1, deterministic=not train, name="drop")(x)
+        x = ConvBN(self.out_channels, self.project_kernel, use_relu=True,
+                   dtype=self.dtype, name="project")(x, train)
+        if self.dropout:
+            x = nn.Dropout(self.dropout, deterministic=not train,
+                           name="drop")(x)
         return x
 
 

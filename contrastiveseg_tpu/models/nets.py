@@ -202,14 +202,17 @@ class DeepLabV3(nn.Module):
         )
         c3, c4 = feats[-2], feats[-1]
         out: dict[str, jnp.ndarray] = {}
-        # Aux (DSN) head: 3x3 conv 512 + dropout + 1x1 cls (decoder_block.py:151-179).
-        aux = ConvBN(512, 3, use_relu=True, dtype=self.dtype, name="dsn_conv")(
+        # DeepLabHead (decoder_block.py:151-179): layer_dsn = 3x3 conv 256
+        # + BNReLU + 1x1 cls; layer_aspp = ASPPModule(2048, 512);
+        # refine = 3x3 conv 512 + BN (no ReLU) + 1x1 cls.
+        aux = ConvBN(256, 3, use_relu=True, dtype=self.dtype, name="dsn_conv")(
             c3, train
         )
-        aux = nn.Dropout(0.1, deterministic=not train, name="dsn_drop")(aux)
         aux = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
                       name="dsn_cls")(aux.astype(jnp.float32))
-        a = ASPP(256, dtype=self.dtype, name="aspp")(c4, train)
+        a = ASPP(512, dtype=self.dtype, name="aspp")(c4, train)
+        a = ConvBN(512, 3, use_relu=False, dtype=self.dtype,
+                   name="refine")(a, train)
         seg = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
                       name="cls")(a.astype(jnp.float32))
         if self.with_proj:

@@ -158,9 +158,66 @@ def hrnet_seg_path(path: tuple[str, ...]) -> Optional[TorchKey]:
     return None
 
 
+def resnet_backbone_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """Flax ResNet (models/resnet.py) -> reference torch ResNet
+    (resnet_models.py:107-180): deep-base resinit.conv{1,2,3}/bn{1,2,3}
+    (or 7x7 resinit.conv1), then layer{1..4}.{k} bottlenecks."""
+    name = path[0]
+    m = re.fullmatch(r"stem(\d)?", name)
+    if m:
+        n = m.group(1) or "1"
+        return _convbn(f"resinit.conv{n}", f"resinit.bn{n}", path[1:])
+    m = re.fullmatch(r"layer(\d)_block(\d+)", name)
+    if m:
+        return _block(f"layer{m.group(1)}.{m.group(2)}", path[1:])
+    return None
+
+
+def deeplab_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """Flax DeepLabV3 (models/nets.py) -> reference DeepLabV3[Contrast]
+    (nets/deeplab.py:8-64 + DeepLabHead, decoder_block.py:39-179)."""
+    if path[0] == "backbone":
+        tk = resnet_backbone_path(path[1:])
+        if tk is not None:
+            tk.key = f"backbone.{tk.key}"
+            if tk.fold_bias_key:
+                tk.fold_bias_key = f"backbone.{tk.fold_bias_key}"
+        return tk
+    if path[0] == "dsn_conv":  # layer_dsn: Sequential(conv, BNReLU, cls)
+        return _convbn("decoder.layer_dsn.0", "decoder.layer_dsn.1.0", path[1:])
+    if path[0] == "dsn_cls":
+        return _plain_conv("decoder.layer_dsn.2", path[1:])
+    if path[0] == "aspp":
+        sub = path[1]
+        m = re.fullmatch(r"b(\d)", sub)
+        if m:  # b0..b3: Sequential(conv, BNReLU)
+            base = f"decoder.layer_aspp.b{m.group(1)}"
+            return _convbn(f"{base}.0", f"{base}.1.0", path[2:])
+        if sub == "img_pool":  # b4: Sequential(pool, conv, BNReLU)
+            return _convbn("decoder.layer_aspp.b4.1",
+                           "decoder.layer_aspp.b4.2.0", path[2:])
+        if sub == "project":
+            return _convbn("decoder.layer_aspp.project.0",
+                           "decoder.layer_aspp.project.1.0", path[2:])
+    if path[0] == "refine":  # Sequential(conv, BatchNorm2d (bare), cls)
+        return _convbn("decoder.refine.0", "decoder.refine.1", path[1:])
+    if path[0] == "cls":
+        return _plain_conv("decoder.refine.2", path[1:])
+    if path[0] == "proj_head":
+        if path[1] == "fc1":
+            return _plain_conv("proj_head.proj.0", path[2:])
+        if len(path) == 4 and path[1] == "norm" and path[2] == "bn":
+            return TorchKey(f"proj_head.proj.1.0.{_BN_LEAF[path[3]]}")
+        if path[1] == "fc2":
+            return _plain_conv("proj_head.proj.2", path[2:])
+    return None
+
+
 PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "hrnet_seg": hrnet_seg_path,
     "hrnet_backbone": hrnet_backbone_path,
+    "resnet_backbone": resnet_backbone_path,
+    "deeplab": deeplab_path,
 }
 
 

@@ -186,3 +186,49 @@ def test_convbn_train_mode_parity():
                     xj, True, mutable=["batch_stats"])
     yj = np.transpose(np.asarray(yj), (0, 3, 1, 2))
     assert np.abs(yt - yj).max() < 1e-4
+
+
+def test_deeplab_forward_parity_eval():
+    """DeepLabV3Contrast (deep-base ResNet-101 dilated-8 + ASPP) forward
+    parity on imported weights.  Input 65x65: odd sizes make the torch
+    ceil_mode maxpool and our floor maxpool agree (documented divergence
+    is then inert, models/resnet.py)."""
+    from contrastiveseg_tpu.models.nets import DeepLabV3
+
+    net = torch_ref.build_deeplab_contrast(num_classes=7, seed=0)
+    g = torch.Generator().manual_seed(7)
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.normal_(0, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 2.0, generator=g)
+    sd = torch_ref.state_dict_numpy(net)
+
+    model = DeepLabV3(num_classes=7, arch="resnet101_dilated8",
+                      with_proj=True)
+    rng = jax.random.PRNGKey(0)
+    x = np.random.RandomState(0).randn(1, 65, 65, 3).astype(np.float32)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.asarray(x), train=True)
+    newvars, report = ti.convert_state_dict(variables, sd, "deeplab")
+    assert report["missing"] == [], report["missing"][:10]
+    assert report["unused"] == [], report["unused"][:10]
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        out_t = net(xt)
+    out_j = model.apply(
+        {"params": newvars["params"], "batch_stats": newvars["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    for k, ours_key in (("seg", "seg"), ("seg_aux", "seg_aux"),
+                        ("embed", "embed")):
+        a = out_t[k].numpy()
+        b = np.transpose(np.asarray(out_j[ours_key]), (0, 3, 1, 2))
+        assert a.shape == b.shape, (k, a.shape, b.shape)
+        # Relative tolerance: randomized BN stats make the 23-block
+        # layer3 activations explode (seg scale ~2e4), so fp32 noise is
+        # proportionally amplified; the L2-normalized embed pins the
+        # absolute scale (4e-7 observed).
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
+        assert err < 1e-4, f"{k}: max rel err {err}"

@@ -194,3 +194,21 @@ def build_hrnet_contrast(num_classes=19, proj_dim=256, seed=0):
 def state_dict_numpy(net) -> dict:
     """state_dict as {key: np.float32 array}."""
     return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+
+
+def build_deeplab_contrast(num_classes=19, proj_dim=256, seed=0,
+                           backbone="deepbase_resnet101_dilated8"):
+    """Reference DeepLabV3Contrast (lib/models/nets/deeplab.py:8-41), eval."""
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    c = build_configer({"data": {"num_classes": num_classes},
+                        "network": {"backbone": backbone,
+                                    "multi_grid": [1, 1, 1]},
+                        "contrast": {"proj_dim": proj_dim}})
+    from lib.models.nets.deeplab import DeepLabV3Contrast
+
+    net = DeepLabV3Contrast(c)
+    net.eval()
+    return net

@@ -78,22 +78,32 @@ def main() -> None:
     from contrastiveseg_tpu.utils.config import Config
     from contrastiveseg_tpu.utils import torch_import as ti
 
+    is_deeplab = args.model.startswith("deeplab")
     cfg = Config({
         "data": {"num_classes": args.num_classes},
-        "network": {"model_name": args.model, "backbone": "hrnet48"},
+        "network": {"model_name": args.model,
+                    "backbone": ("deepbase_resnet101_dilated8"
+                                 if is_deeplab else "hrnet48")},
         "contrast": {"proj_dim": args.proj_dim},
     })
     model = MODELS.build(args.model, cfg)
     rng = jax.random.PRNGKey(0)
     variables = model.init({"params": rng, "dropout": rng},
-                           jnp.zeros((1, 64, 64, 3), jnp.float32), train=True)
+                           jnp.zeros((1, 65, 65, 3), jnp.float32), train=True)
 
     sd = load_torch_state(args.ckpt)
     if args.source == "imagenet":
         sd = {f"backbone.{k}": v for k, v in sd.items()
               if not k.startswith(_IMAGENET_HEAD_PREFIXES)}
+        if is_deeplab and not any(k.startswith("backbone.resinit")
+                                  for k in sd):
+            # torchvision-style resnet ckpts: conv1/bn1 -> resinit.conv1/bn1.
+            sd = {k.replace("backbone.conv1.", "backbone.resinit.conv1.")
+                  .replace("backbone.bn1.", "backbone.resinit.bn1."): v
+                  for k, v in sd.items()}
 
-    newvars, report = ti.convert_state_dict(variables, sd, "hrnet_seg",
+    mapper = "deeplab" if is_deeplab else "hrnet_seg"
+    newvars, report = ti.convert_state_dict(variables, sd, mapper,
                                             strict=True)
     print(f"loaded {len(report['loaded'])} leaves; "
           f"kept-at-init {len(report['missing'])}; "

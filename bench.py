@@ -24,7 +24,8 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
-                remat: bool = False):
+                remat: bool = False, remat_stem: bool = False,
+                donate: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,6 +44,7 @@ def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
     cfg = get_preset(preset)
     cfg = cfg.updated("network.bf16", bf16)
     cfg = cfg.updated("network.remat", remat)
+    cfg = cfg.updated("network.remat_stem", remat_stem)
     cfg = cfg.updated("contrast.warmup_iters", 0)  # bench the full loss
 
     model = build_model(cfg)
@@ -80,7 +82,7 @@ def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
         warmup_iters=0,
         network_stride=cfg.get("network.stride"),
         pixel_update_freq=cfg.get("contrast.pixel_update_freq"),
-        donate=False,
+        donate=donate,
     )
 
     rng_np = np.random.default_rng(0)
@@ -121,10 +123,12 @@ def _peak_tflops(bf16: bool):
 
 
 def run(batch: int, hw: tuple[int, int], steps: int, bf16: bool,
-        memory: bool, remat: bool = False):
+        memory: bool, remat: bool = False, remat_stem: bool = False,
+        donate: bool = False):
     import jax
 
-    state, step_fn, batch_data = build_bench(batch, hw, bf16, memory, remat)
+    state, step_fn, batch_data = build_bench(batch, hw, bf16, memory, remat,
+                                             remat_stem, donate)
     # AOT-compile exactly once, so the executable also hands us its cost
     # analysis (utils/flops.xla_flops idea; VERDICT.md weak-1: anchor the
     # bench in MFU, not vs-self).
@@ -181,6 +185,12 @@ def main() -> None:
     ap.add_argument("--record-baseline", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize HRNet modules (bigger batches)")
+    ap.add_argument("--remat-stem", action="store_true",
+                    help="checkpoint only stem+layer1 (frees ~1.9GB; stops "
+                         "XLA from replaying the 2.4TF cls_head conv)")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate state buffers (faulted the axon worker in "
+                         "round 1; retry behind a flag)")
     ap.add_argument("--worker", action="store_true",
                     help="(internal) run the measurement in-process")
     args = ap.parse_args()
@@ -254,7 +264,8 @@ def main() -> None:
     last_err = None
     for b in [batch, max(batch // 2, 1), max(batch // 4, 1), 1]:
         try:
-            perf = run(b, hw, steps, bf16, memory, args.remat)
+            perf = run(b, hw, steps, bf16, memory, args.remat,
+                       args.remat_stem, args.donate)
             batch = b
             break
         except Exception as e:  # noqa: BLE001

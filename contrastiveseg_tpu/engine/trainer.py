@@ -90,7 +90,10 @@ class Trainer:
             tx=tx,
         )
         if self.mesh is not None:
-            self.state = shard_state(self.state, self.mesh)
+            self.state = shard_state(
+                self.state, self.mesh,
+                shard_queue=cfg.get("parallel.shard_queue", default=False),
+            )
 
         self.train_step = make_train_step(
             self.model,

@@ -39,6 +39,7 @@ class HRNetSeg(nn.Module):
     proj_dim: int = 256
     upsample_out: bool = True  # plain net upsamples to input size
     remat: bool = False
+    remat_stem: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -46,7 +47,8 @@ class HRNetSeg(nn.Module):
         in_h, in_w = x.shape[1], x.shape[2]
         if self.arch in HRNET_SPECS:
             feats = HRNet(HRNET_SPECS[self.arch], dtype=self.dtype,
-                          remat=self.remat, name="backbone")(
+                          remat=self.remat, remat_stem=self.remat_stem,
+                          name="backbone")(
                 x.astype(self.dtype), train
             )
         else:  # hrnet2x20-style HighResolutionNext archs
@@ -237,6 +239,7 @@ def _hrnet_variant(arch: str, **defaults):
             arch=arch,
             proj_dim=cfg.get("contrast.proj_dim", default=256),
             remat=cfg.get("network.remat", default=False),
+            remat_stem=cfg.get("network.remat_stem", default=False),
             dtype=dtype,
             **defaults,
         )

@@ -45,8 +45,22 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
-def shard_state(state: Any, mesh: Mesh) -> Any:
+def shard_state(state: Any, mesh: Mesh, shard_queue: bool = False,
+                axis_name: str = "data") -> Any:
     """Replicate the train state across the mesh (params are small enough
-    for pure DP; model sharding hooks in here later if ever needed)."""
+    for pure DP).  ``shard_queue`` additionally shards the memory bank's
+    [C, M, D] queues over their memory axis — the framework's large-state
+    axis; the contrast loss all-gathers the shard over ICI (the BASELINE
+    north-star layout, also exercised by __graft_entry__.dryrun_multichip).
+    """
     rep = replicate(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+    if shard_queue and getattr(state, "bank", None) is not None:
+        qshard = NamedSharding(mesh, P(None, axis_name, None))
+        state = state.replace(
+            bank=state.bank._replace(
+                segment_queue=jax.device_put(state.bank.segment_queue, qshard),
+                pixel_queue=jax.device_put(state.bank.pixel_queue, qshard),
+            )
+        )
+    return state

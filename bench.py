@@ -185,9 +185,11 @@ def main() -> None:
     ap.add_argument("--record-baseline", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize HRNet modules (bigger batches)")
-    ap.add_argument("--remat-stem", action="store_true",
+    ap.add_argument("--remat-stem", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="checkpoint only stem+layer1 (frees ~1.9GB; stops "
-                         "XLA from replaying the 2.4TF cls_head conv)")
+                         "XLA from replaying the 2.4TF cls_head conv: "
+                         "25.5 -> 28.1 img/s measured)")
     ap.add_argument("--donate", action="store_true",
                     help="donate state buffers (faulted the axon worker in "
                          "round 1; retry behind a flag)")

@@ -190,9 +190,12 @@ def main() -> None:
                     help="checkpoint only stem+layer1 (frees ~1.9GB; stops "
                          "XLA from replaying the 2.4TF cls_head conv: "
                          "25.5 -> 28.1 img/s measured)")
-    ap.add_argument("--donate", action="store_true",
-                    help="donate state buffers (faulted the axon worker in "
-                         "round 1; retry behind a flag)")
+    ap.add_argument("--donate", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="donate state buffers (default: auto — first "
+                         "attempt donates, retries fall back; donation "
+                         "faulted the axon worker in round 1 but measured "
+                         "+0.5%% in round 2)")
     ap.add_argument("--worker", action="store_true",
                     help="(internal) run the measurement in-process")
     args = ap.parse_args()
@@ -213,17 +216,23 @@ def main() -> None:
             if a == "--batch":
                 skip = True
                 continue
-            if a.startswith("--batch"):
+            if a.startswith("--batch") or a in ("--donate", "--no-donate"):
                 continue
             base_args.append(a)
         start_batch = args.batch or 8
         last = ""
-        for attempt, b in enumerate(
-            [start_batch, start_batch, max(start_batch // 2, 1),
-             max(start_batch // 4, 1)]
-        ):
+        # (batch, donate) ladder: donation measured +0.5% but faulted the
+        # axon worker once in round 1, so only the first attempt donates
+        # unless the user forced it with --[no-]donate.
+        ladder = [(start_batch, True), (start_batch, False),
+                  (start_batch, False), (max(start_batch // 2, 1), False),
+                  (max(start_batch // 4, 1), False)]
+        if args.donate is not None:
+            ladder = [(b, args.donate) for b, _ in ladder]
+        for attempt, (b, donate) in enumerate(ladder):
             cmd = [sys.executable, os.path.abspath(__file__), "--worker",
-                   f"--batch={b}"] + base_args
+                   f"--batch={b}",
+                   "--donate" if donate else "--no-donate"] + base_args
             try:
                 proc = subprocess.run(cmd, capture_output=True, text=True,
                                       timeout=3600)
@@ -267,7 +276,7 @@ def main() -> None:
     for b in [batch, max(batch // 2, 1), max(batch // 4, 1), 1]:
         try:
             perf = run(b, hw, steps, bf16, memory, args.remat,
-                       args.remat_stem, args.donate)
+                       args.remat_stem, bool(args.donate))
             batch = b
             break
         except Exception as e:  # noqa: BLE001

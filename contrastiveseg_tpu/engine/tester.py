@@ -302,6 +302,18 @@ class Tester:
                 Image.fromarray(colorize(pred, palette)).save(
                     os.path.join(vis_dir, f"{name}.png")
                 )
+                # save_gt_label env flag (reference tester.py:209-217,
+                # SURVEY.md §5): also colorize the ground-truth map into
+                # gt_vis/ when labels ride along with the batch.
+                if self.cfg.get("test.save_gt_label", default=False) and (
+                    "label" in batch
+                ):
+                    gt = np.asarray(batch["label"][i]).astype(np.int32)
+                    gt_dir = os.path.join(out_dir, "gt_vis")
+                    os.makedirs(gt_dir, exist_ok=True)
+                    Image.fromarray(colorize(np.maximum(gt, 0), palette)).save(
+                        os.path.join(gt_dir, f"{name}.png")
+                    )
                 if save_prob:
                     np.save(
                         os.path.join(out_dir, f"{name}_prob.npy"),

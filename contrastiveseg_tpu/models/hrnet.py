@@ -152,16 +152,31 @@ class HRNet(nn.Module):
     # 2.4-TFLOP cls_head conv instead (profiled: 3x convert_reduce_fusion
     # at 14.6 ms each).  Cheaper than remat=True (whole modules).
     remat_stem: bool = False
+    # The reference's env-var flag layer (SURVEY.md §5 config), lifted
+    # into the typed config tree:
+    #   full_res_stem — single stride-1 stem conv, no conv2
+    #     (hrnet_backbone.py:303-311,518-523); branch0 stays at full res.
+    #   drop_stage4 — return the 3-branch stage3 features (:547-548).
+    #   keep_imagenet_head — run the ImageNet classification head's
+    #     incre/downsample/final modules over the 4 branches (:557-572,
+    #     _make_head :361-411) so its pretrained weights stay usable.
+    full_res_stem: bool = False
+    drop_stage4: bool = False
+    keep_imagenet_head: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> list[jnp.ndarray]:
         s = self.spec
 
         def stem_and_layer1(mdl, x):
-            x = ConvBN(s.stem_width, 3, 2, use_relu=True, dtype=self.dtype,
-                       name="stem1")(x, train)
-            x = ConvBN(s.stem_width, 3, 2, use_relu=True, dtype=self.dtype,
-                       name="stem2")(x, train)
+            if self.full_res_stem:
+                x = ConvBN(s.stem_width, 3, 1, use_relu=True,
+                           dtype=self.dtype, name="stem1")(x, train)
+            else:
+                x = ConvBN(s.stem_width, 3, 2, use_relu=True,
+                           dtype=self.dtype, name="stem1")(x, train)
+                x = ConvBN(s.stem_width, 3, 2, use_relu=True,
+                           dtype=self.dtype, name="stem2")(x, train)
             for k in range(s.stage1_blocks):
                 x = Bottleneck(
                     s.stage1_width, downsample=(k == 0), dtype=self.dtype,
@@ -174,8 +189,11 @@ class HRNet(nn.Module):
         else:
             x = stem_and_layer1(self, x)
 
+        stages = [(2, s.stage2), (3, s.stage3)]
+        if not self.drop_stage4:
+            stages.append((4, s.stage4))
         xs = [x]
-        for stage_idx, stage in enumerate((s.stage2, s.stage3, s.stage4), start=2):
+        for stage_idx, stage in stages:
             # Transition: adapt existing branches, spawn the new coarser one.
             new_xs = []
             for i, c in enumerate(stage.num_channels):
@@ -199,6 +217,28 @@ class HRNet(nn.Module):
                     stage.num_channels, stage.num_blocks, dtype=self.dtype,
                     name=f"stage{stage_idx}_module{m}",
                 )(xs, train)
+
+        if self.keep_imagenet_head and not self.drop_stage4:
+            # _make_head (hrnet_backbone.py:361-411): raise each branch to
+            # 128/256/512/1024 with one Bottleneck, cascade-downsample and
+            # sum, then 1x1 -> 2048; x_list keeps the intermediate sums
+            # with the last replaced by the 2048-wide final map (:557-572).
+            head_width = (32, 64, 128, 256)
+            ys = []
+            y = Bottleneck(head_width[0], downsample=True, dtype=self.dtype,
+                           name="incre0")(xs[0], train)
+            ys.append(y)
+            for i in range(1, len(xs)):
+                inc = Bottleneck(head_width[i], downsample=True,
+                                 dtype=self.dtype, name=f"incre{i}")(
+                    xs[i], train)
+                y = inc + ConvBN(head_width[i] * 4, 3, 2, use_relu=True,
+                                 use_bias=True, dtype=self.dtype,
+                                 name=f"downsamp{i - 1}")(y, train)
+                ys.append(y)
+            final = ConvBN(2048, 1, 1, use_relu=True, use_bias=True,
+                           dtype=self.dtype, name="final_layer")(ys[-1], train)
+            return ys[:-1] + [final]
         return xs
 
 

@@ -120,3 +120,20 @@ def test_test_offset_writes_npz(tmp_path):
     assert b["mask"].shape == (10, 20)
     assert set(np.unique(a["mask"])) <= {0, 1}
     assert a["dir_label"].max() < 8
+
+
+def test_save_gt_label_writes_gt_vis(tmp_path):
+    # save_gt_label flag (reference tester.py:209-217): colorized GT maps
+    # land in gt_vis/ alongside label/ + vis/ predictions.
+    t = _tester(**{"test.save_gt_label": True, "dataset": "cityscapes"})
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": np.asarray(_img()),
+        "label": rng.integers(0, C, size=(1, 16, 32)).astype(np.int32),
+        "meta": [{"ori_size": (32, 16), "name": "sample0"}],
+    }
+    n = t.test(batches=[batch], out_dir=str(tmp_path))
+    assert n == 1
+    assert (tmp_path / "gt_vis" / "sample0.png").exists()
+    gt_png = np.asarray(Image.open(tmp_path / "gt_vis" / "sample0.png"))
+    assert gt_png.shape[:2] == (16, 32)

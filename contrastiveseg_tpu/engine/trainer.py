@@ -129,12 +129,65 @@ class Trainer:
             self.log.info(f"resumed latest at step {int(self.state.step)}")
 
     # ------------------------------------------------------------------
+    def request_stop(self) -> None:
+        """Ask the train loop to stop at the next iteration boundary.
+
+        Used by the preemption handler (SIGTERM on preemptible TPU VMs);
+        safe to call from signal context — it only flips a flag."""
+        self._stop_requested = True
+
+    def _install_preempt_handlers(self):
+        """SIGTERM/SIGINT → checkpoint-and-exit-cleanly.
+
+        TPU-native failure story: preemptible/spot TPU VMs get SIGTERM
+        ~30s before shutdown.  The handler requests a graceful stop; the
+        loop saves a full resumable state (params+opt+step+queues+rng —
+        engine/checkpoint.py) and returns.  Restarting with
+        ``network.resume_continue=true`` picks up at the same iteration.
+        (Reference has no counterpart: its DDP trainer dies mid-epoch.)
+        """
+        import signal
+
+        names = self.cfg.get(
+            "train.preempt_signals", default=["SIGTERM", "SIGINT"]
+        )
+        prev = {}
+        for name in names:
+            sig = getattr(signal, name, None)
+            if sig is None:
+                continue
+
+            def _handler(signum, frame, _name=name):
+                self.log.info(
+                    f"{_name} received: stopping after current step "
+                    "(state will be checkpointed)"
+                )
+                self.request_stop()
+
+            try:
+                prev[sig] = signal.signal(sig, _handler)
+            except (ValueError, OSError):  # non-main thread / exotic sig
+                pass
+        return prev
+
+    @staticmethod
+    def _restore_handlers(prev) -> None:
+        import signal
+
+        for sig, handler in prev.items():
+            try:
+                signal.signal(sig, handler)
+            except (ValueError, OSError):
+                pass
+
     def train(self, max_iters: Optional[int] = None) -> dict:
         cfg = self.cfg
         max_iters = max_iters or cfg.get("solver.max_iters", default=40000)
         display_iter = cfg.get("solver.display_iter", default=10)
         test_interval = cfg.get("solver.test_interval", default=2000)
         save_iters = cfg.get("checkpoints.save_iters", default=1000)
+        self._stop_requested = False
+        prev_handlers = self._install_preempt_handlers()
 
         pipeline = build_pipeline(cfg, "train")
         data_iter = iter(pipeline)
@@ -195,7 +248,16 @@ class Trainer:
                 self.ckpt.save(self.state, "latest")
             if test_interval and (it + 1) % test_interval == 0:
                 last_scores = self.validate()
+            if self._stop_requested:
+                self.ckpt.save(self.state, "latest")
+                self.log.info(
+                    f"preempted: full state saved at iter {it + 1}; "
+                    "restart with network.resume_continue=true to resume"
+                )
+                self._restore_handlers(prev_handlers)
+                return last_scores
 
+        self._restore_handlers(prev_handlers)
         if swa_on and int(swa.n_averaged) > 0:
             # swap_swa_sgd + bn_update (trainer_contrastive.py:422-425).
             from contrastiveseg_tpu.engine.swa import swap_to_swa

@@ -25,7 +25,7 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
                 remat: bool = False, remat_stem: bool = False,
-                donate: bool = False):
+                donate: bool = False, pallas_conv: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -45,6 +45,7 @@ def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
     cfg = cfg.updated("network.bf16", bf16)
     cfg = cfg.updated("network.remat", remat)
     cfg = cfg.updated("network.remat_stem", remat_stem)
+    cfg = cfg.updated("network.pallas_conv", pallas_conv)
     cfg = cfg.updated("contrast.warmup_iters", 0)  # bench the full loss
 
     model = build_model(cfg)
@@ -124,11 +125,11 @@ def _peak_tflops(bf16: bool):
 
 def run(batch: int, hw: tuple[int, int], steps: int, bf16: bool,
         memory: bool, remat: bool = False, remat_stem: bool = False,
-        donate: bool = False):
+        donate: bool = False, pallas_conv: bool = False):
     import jax
 
     state, step_fn, batch_data = build_bench(batch, hw, bf16, memory, remat,
-                                             remat_stem, donate)
+                                             remat_stem, donate, pallas_conv)
     # AOT-compile exactly once, so the executable also hands us its cost
     # analysis (utils/flops.xla_flops idea; VERDICT.md weak-1: anchor the
     # bench in MFU, not vs-self).
@@ -190,6 +191,10 @@ def main() -> None:
                     help="checkpoint only stem+layer1 (frees ~1.9GB; stops "
                          "XLA from replaying the 2.4TF cls_head conv: "
                          "25.5 -> 28.1 img/s measured)")
+    ap.add_argument("--pallas-conv", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="route small-channel 3x3 convs through the "
+                         "Pallas kernel (ops/conv_pallas.py)")
     ap.add_argument("--donate", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="donate state buffers (default: auto — first "
@@ -276,7 +281,8 @@ def main() -> None:
     for b in [batch, max(batch // 2, 1), max(batch // 4, 1), 1]:
         try:
             perf = run(b, hw, steps, bf16, memory, args.remat,
-                       args.remat_stem, bool(args.donate))
+                       args.remat_stem, bool(args.donate),
+                       args.pallas_conv)
             batch = b
             break
         except Exception as e:  # noqa: BLE001

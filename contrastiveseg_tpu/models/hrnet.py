@@ -78,6 +78,7 @@ class HighResolutionModule(nn.Module):
     num_channels: tuple[int, ...]
     num_blocks: int
     block: str = "basic"  # basic | bottleneck
+    pallas_conv: bool = False  # Pallas path for small-C 3x3 convs
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -99,6 +100,7 @@ class HighResolutionModule(nn.Module):
                     x = BasicBlock(
                         self.num_channels[i],
                         downsample=need_ds,
+                        pallas=self.pallas_conv,
                         dtype=self.dtype,
                         name=f"branch{i}_block{k}",
                     )(x, train)
@@ -163,6 +165,9 @@ class HRNet(nn.Module):
     full_res_stem: bool = False
     drop_stage4: bool = False
     keep_imagenet_head: bool = False
+    # Route small-channel 3x3 branch convs through the Pallas kernel
+    # (ops/conv_pallas.py) — see ConvBN.pallas.
+    pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> list[jnp.ndarray]:
@@ -214,7 +219,8 @@ class HRNet(nn.Module):
             )
             for m in range(stage.num_modules):
                 xs = mod_cls(
-                    stage.num_channels, stage.num_blocks, dtype=self.dtype,
+                    stage.num_channels, stage.num_blocks,
+                    pallas_conv=self.pallas_conv, dtype=self.dtype,
                     name=f"stage{stage_idx}_module{m}",
                 )(xs, train)
 

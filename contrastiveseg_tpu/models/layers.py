@@ -36,8 +36,42 @@ class TorchBatchNorm(nn.Module):
         )(x)
 
 
+class PallasConv3x3(nn.Module):
+    """3x3 stride-1 SAME conv via the Pallas small-channel kernel.
+
+    Param-compatible with ``nn.Conv(..., name="conv")`` — same ``kernel``
+    name, HWIO shape, and lecun-normal init — so checkpoints and the
+    torch importer are oblivious to which path computed the conv.
+    On non-TPU backends the kernel runs in interpreter mode (tests).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from contrastiveseg_tpu.ops.conv_pallas import conv3x3
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features), jnp.float32,
+        )
+        import jax
+
+        interpret = jax.default_backend() != "tpu"
+        return conv3x3(x.astype(self.dtype), kernel.astype(self.dtype),
+                       interpret)
+
+
 class ConvBN(nn.Module):
-    """Conv2d (no bias) -> BN [-> ReLU].  NHWC."""
+    """Conv2d (no bias) -> BN [-> ReLU].  NHWC.
+
+    ``pallas=True`` routes eligible convs (3x3, stride 1, undilated,
+    small C) through ops/conv_pallas.py — 2x the XLA conv rate in
+    isolation (70 vs 35 TF/s at C=48 on v5e) but a net loss inside the
+    full train step (custom-call barriers + lost BN fusion; see
+    ops/conv_pallas.py for numbers), so it defaults to off.
+    """
 
     features: int
     kernel_size: int = 3
@@ -45,21 +79,32 @@ class ConvBN(nn.Module):
     dilation: int = 1
     use_relu: bool = True
     use_bias: bool = False
+    pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        pad = self.dilation * (self.kernel_size - 1) // 2
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.strides, self.strides),
-            padding=[(pad, pad), (pad, pad)],
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        use_pallas = False
+        if self.pallas and not self.use_bias:
+            from contrastiveseg_tpu.ops.conv_pallas import supported
+
+            use_pallas = supported(x.shape, self.kernel_size,
+                                   self.strides, self.dilation)
+        if use_pallas:
+            x = PallasConv3x3(self.features, dtype=self.dtype,
+                              name="conv")(x)
+        else:
+            pad = self.dilation * (self.kernel_size - 1) // 2
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.strides, self.strides),
+                padding=[(pad, pad), (pad, pad)],
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = TorchBatchNorm(dtype=self.dtype, name="norm")(x, train)
         if self.use_relu:
             x = nn.relu(x)
@@ -76,6 +121,7 @@ class BasicBlock(nn.Module):
     strides: int = 1
     dilation: int = 1
     downsample: bool = False
+    pallas: bool = False
     dtype: Any = jnp.float32
     expansion: int = 1
 
@@ -84,11 +130,11 @@ class BasicBlock(nn.Module):
         residual = x
         out = ConvBN(
             self.features, 3, self.strides, self.dilation, use_relu=True,
-            dtype=self.dtype, name="conv1",
+            pallas=self.pallas, dtype=self.dtype, name="conv1",
         )(x, train)
         out = ConvBN(
             self.features, 3, 1, self.dilation, use_relu=False,
-            dtype=self.dtype, name="conv2",
+            pallas=self.pallas, dtype=self.dtype, name="conv2",
         )(out, train)
         if self.downsample:
             residual = ConvBN(

@@ -44,6 +44,7 @@ class HRNetSeg(nn.Module):
     full_res_stem: bool = False
     drop_stage4: bool = False
     keep_imagenet_head: bool = False
+    pallas_conv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -55,6 +56,7 @@ class HRNetSeg(nn.Module):
                           full_res_stem=self.full_res_stem,
                           drop_stage4=self.drop_stage4,
                           keep_imagenet_head=self.keep_imagenet_head,
+                          pallas_conv=self.pallas_conv,
                           name="backbone")(
                 x.astype(self.dtype), train
             )
@@ -251,6 +253,7 @@ def _hrnet_variant(arch: str, **defaults):
             drop_stage4=cfg.get("network.drop_stage4", default=False),
             keep_imagenet_head=cfg.get(
                 "network.keep_imagenet_head", default=False),
+            pallas_conv=cfg.get("network.pallas_conv", default=False),
             dtype=dtype,
             **defaults,
         )

@@ -46,6 +46,11 @@ def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
     cfg = cfg.updated("network.remat", remat)
     cfg = cfg.updated("network.remat_stem", remat_stem)
     cfg = cfg.updated("network.pallas_conv", pallas_conv)
+    cfg = cfg.updated("network.remat_scope",
+                      os.environ.get("BENCH_REMAT_SCOPE", "stem_layer1"))
+    # (BENCH_REMAT_SCOPE=layer1 measured 26.7 img/s vs 28.1 for the
+    # default stem_layer1 — keeping the 268MB stem activations saved
+    # re-triggers XLA's HLO remat elsewhere: +2.7 TF/step of replay.)
     cfg = cfg.updated("contrast.warmup_iters", 0)  # bench the full loss
 
     model = build_model(cfg)

@@ -154,6 +154,13 @@ class HRNet(nn.Module):
     # 2.4-TFLOP cls_head conv instead (profiled: 3x convert_reduce_fusion
     # at 14.6 ms each).  Cheaper than remat=True (whole modules).
     remat_stem: bool = False
+    # Which prefix the remat_stem checkpoint wraps: "stem_layer1" remats
+    # both (max memory freed); "layer1" keeps the two full-resolution
+    # stem activations saved (268 MB at batch 8) and recomputes only the
+    # Bottleneck stack — the stem convs are the most bandwidth-hungry
+    # part of the recompute, so this trades a little memory for cheaper
+    # backward replay.
+    remat_scope: str = "stem_layer1"
     # The reference's env-var flag layer (SURVEY.md §5 config), lifted
     # into the typed config tree:
     #   full_res_stem — single stride-1 stem conv, no conv2
@@ -173,7 +180,7 @@ class HRNet(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = True) -> list[jnp.ndarray]:
         s = self.spec
 
-        def stem_and_layer1(mdl, x):
+        def stem(mdl, x):
             if self.full_res_stem:
                 x = ConvBN(s.stem_width, 3, 1, use_relu=True,
                            dtype=self.dtype, name="stem1")(x, train)
@@ -182,6 +189,9 @@ class HRNet(nn.Module):
                            dtype=self.dtype, name="stem1")(x, train)
                 x = ConvBN(s.stem_width, 3, 2, use_relu=True,
                            dtype=self.dtype, name="stem2")(x, train)
+            return x
+
+        def layer1(mdl, x):
             for k in range(s.stage1_blocks):
                 x = Bottleneck(
                     s.stage1_width, downsample=(k == 0), dtype=self.dtype,
@@ -189,8 +199,15 @@ class HRNet(nn.Module):
                 )(x, train)
             return x
 
-        if self.remat_stem:
+        def stem_and_layer1(mdl, x):
+            return layer1(mdl, stem(mdl, x))
+
+        if self.remat_stem and self.remat_scope == "stem_layer1":
             x = nn.remat(stem_and_layer1)(self, x)
+        elif self.remat_stem and self.remat_scope == "layer1":
+            x = nn.remat(layer1)(self, stem(self, x))
+        elif self.remat_stem and self.remat_scope == "stem":
+            x = layer1(self, nn.remat(stem)(self, x))
         else:
             x = stem_and_layer1(self, x)
 

@@ -40,6 +40,7 @@ class HRNetSeg(nn.Module):
     upsample_out: bool = True  # plain net upsamples to input size
     remat: bool = False
     remat_stem: bool = False
+    remat_scope: str = "stem_layer1"
     # Reference env-var flags (hrnet_backbone.py:303,547,557) — see HRNet.
     full_res_stem: bool = False
     drop_stage4: bool = False
@@ -53,6 +54,7 @@ class HRNetSeg(nn.Module):
         if self.arch in HRNET_SPECS:
             feats = HRNet(HRNET_SPECS[self.arch], dtype=self.dtype,
                           remat=self.remat, remat_stem=self.remat_stem,
+                          remat_scope=self.remat_scope,
                           full_res_stem=self.full_res_stem,
                           drop_stage4=self.drop_stage4,
                           keep_imagenet_head=self.keep_imagenet_head,
@@ -249,6 +251,8 @@ def _hrnet_variant(arch: str, **defaults):
             proj_dim=cfg.get("contrast.proj_dim", default=256),
             remat=cfg.get("network.remat", default=False),
             remat_stem=cfg.get("network.remat_stem", default=False),
+            remat_scope=cfg.get(
+                "network.remat_scope", default="stem_layer1"),
             full_res_stem=cfg.get("network.full_res_stem", default=False),
             drop_stage4=cfg.get("network.drop_stage4", default=False),
             keep_imagenet_head=cfg.get(

@@ -151,7 +151,14 @@ class ContrastCELoss:
 
 @dataclasses.dataclass(frozen=True)
 class PlainSegLoss:
-    """fs_ce_loss / fs_auxce_loss on full-resolution (or upsampled) logits."""
+    """fs_ce_loss / fs_auxce_loss / fs_auxohemce_loss / fs_auxce_dsn_loss
+    on full-resolution (or upsampled) logits.
+
+    ``use_aux + use_ohem`` = FSAuxOhemCELoss (OHEM on the seg head, plain
+    CE on aux — loss_helper.py:264-281); ``dsn`` = FSAuxCELossDSN (seg CE
+    + mean CE over the seg_aux1..3 deeply-supervised heads,
+    loss_helper.py:284-298).
+    """
 
     class_weight: Optional[tuple[float, ...]] = None
     ignore_index: int = -1
@@ -161,6 +168,7 @@ class PlainSegLoss:
     use_ohem: bool = False
     ohem_thresh: float = 0.9
     ohem_minkeep: int = 100000
+    dsn: bool = False
 
     def __call__(
         self,
@@ -172,24 +180,38 @@ class PlainSegLoss:
     ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
         del key, with_embed, bank
         h, w = targets.shape[1], targets.shape[2]
-        seg = outputs["seg"]
-        if seg.shape[1:3] != (h, w):
-            seg = resize_bilinear_align_corners(seg, (h, w))
+
+        def at_label_res(x):
+            if x.shape[1:3] != (h, w):
+                return resize_bilinear_align_corners(x, (h, w))
+            return x
+
+        seg = at_label_res(outputs["seg"])
         if self.use_ohem:
             from contrastiveseg_tpu.losses.ce import ohem_cross_entropy
 
-            loss = ohem_cross_entropy(
+            seg_loss = ohem_cross_entropy(
                 seg, targets, self.ohem_thresh, self.ohem_minkeep,
                 self.class_weight, self.ignore_index,
             )
-        elif self.use_aux and "seg_aux" in outputs:
-            aux = outputs["seg_aux"]
-            if aux.shape[1:3] != (h, w):
-                aux = resize_bilinear_align_corners(aux, (h, w))
-            loss = aux_cross_entropy(
-                seg, aux, targets, self.seg_weight, self.aux_weight,
-                self.class_weight, self.ignore_index,
-            )
         else:
-            loss = cross_entropy(seg, targets, self.class_weight, self.ignore_index)
+            seg_loss = cross_entropy(
+                seg, targets, self.class_weight, self.ignore_index)
+
+        if self.dsn:
+            aux_keys = sorted(k for k in outputs if k.startswith("seg_aux"))
+            aux_losses = [
+                cross_entropy(at_label_res(outputs[k]), targets,
+                              self.class_weight, self.ignore_index)
+                for k in aux_keys
+            ]
+            aux_loss = sum(aux_losses) / max(len(aux_losses), 1)
+            loss = self.seg_weight * seg_loss + self.aux_weight * aux_loss
+        elif self.use_aux and "seg_aux" in outputs:
+            aux_loss = cross_entropy(
+                at_label_res(outputs["seg_aux"]), targets,
+                self.class_weight, self.ignore_index)
+            loss = self.seg_weight * seg_loss + self.aux_weight * aux_loss
+        else:
+            loss = seg_loss
         return loss, {"loss_seg": loss, "loss": loss}

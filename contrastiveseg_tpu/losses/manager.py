@@ -61,6 +61,35 @@ def _fs_auxce(cfg):
     )
 
 
+@LOSSES.register("fs_auxohemce_loss")
+def _fs_auxohemce(cfg):
+    """OHEM on the seg head + plain CE on aux (loss_helper.py:264-281)."""
+    lw = cfg.get("network.loss_weights", default={})
+    params = cfg.get("loss.params", default={})
+    return PlainSegLoss(
+        use_aux=True,
+        use_ohem=True,
+        ohem_thresh=params.get("ohem_thresh", 0.9),
+        ohem_minkeep=params.get("ohem_minkeep", 100000),
+        aux_weight=lw.get("aux_loss", 0.4),
+        seg_weight=lw.get("seg_loss", 1.0),
+        **_common(cfg),
+    )
+
+
+@LOSSES.register("fs_auxce_dsn_loss")
+def _fs_auxce_dsn(cfg):
+    """Deeply-supervised: seg CE + mean CE over seg_aux* heads
+    (loss_helper.py:284-298)."""
+    lw = cfg.get("network.loss_weights", default={})
+    return PlainSegLoss(
+        dsn=True,
+        aux_weight=lw.get("aux_loss", 0.4),
+        seg_weight=lw.get("seg_loss", 1.0),
+        **_common(cfg),
+    )
+
+
 def _rmi_params(cfg) -> dict:
     p = cfg.get("loss.params", default={})
     return {

@@ -113,3 +113,44 @@ def test_ce_grad_finite():
         lambda x: cross_entropy(x, jnp.asarray(labels), CITYSCAPES_W)
     )(jnp.asarray(logits))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fs_auxohemce_and_dsn_registry():
+    """fs_auxohemce_loss (OHEM seg + CE aux, loss_helper.py:264-281) and
+    fs_auxce_dsn_loss (seg CE + mean of seg_aux* CEs, :284-298)."""
+    import jax.random as jr
+    import numpy as np
+
+    from contrastiveseg_tpu.losses.ce import cross_entropy, ohem_cross_entropy
+    from contrastiveseg_tpu.losses.manager import LOSSES
+    from contrastiveseg_tpu.utils.config import Config
+
+    cfg = Config({
+        "data": {"num_classes": 5},
+        "network": {"loss_weights": {"seg_loss": 1.0, "aux_loss": 0.4}},
+        "loss": {"params": {"ohem_thresh": 0.7, "ohem_minkeep": 10}},
+    })
+    rng = np.random.default_rng(3)
+    out = {
+        "seg": jnp.asarray(rng.standard_normal((2, 8, 8, 5)).astype("f4")),
+        "seg_aux": jnp.asarray(
+            rng.standard_normal((2, 8, 8, 5)).astype("f4")),
+        "seg_aux2": jnp.asarray(
+            rng.standard_normal((2, 8, 8, 5)).astype("f4")),
+    }
+    lab = jnp.asarray(rng.integers(0, 5, size=(2, 8, 8)).astype("i4"))
+
+    total, _ = LOSSES.get("fs_auxohemce_loss")(cfg)(
+        jr.key(0), out, lab, False, None)
+    want = ohem_cross_entropy(out["seg"], lab, 0.7, 10, None, -1) \
+        + 0.4 * cross_entropy(out["seg_aux"], lab, None, -1)
+    # NOTE: aux branch of fs_auxohemce uses only the primary seg_aux in
+    # the reference (two-output models); seg_aux2 contributes to DSN only.
+    assert np.isclose(float(total), float(want), rtol=1e-6)
+
+    total, _ = LOSSES.get("fs_auxce_dsn_loss")(cfg)(
+        jr.key(0), out, lab, False, None)
+    aux_mean = (cross_entropy(out["seg_aux"], lab, None, -1)
+                + cross_entropy(out["seg_aux2"], lab, None, -1)) / 2
+    want = cross_entropy(out["seg"], lab, None, -1) + 0.4 * aux_mean
+    assert np.isclose(float(total), float(want), rtol=1e-6)

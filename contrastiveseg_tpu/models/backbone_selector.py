@@ -20,12 +20,26 @@ from contrastiveseg_tpu.models.mobilenet import (
     MobileNetV3,
 )
 from contrastiveseg_tpu.models.pvt import PVT, PVT_SPECS
-from contrastiveseg_tpu.models.resnet import RESNET_SPECS, ResNet
+from contrastiveseg_tpu.models.resnet import (
+    RESNET_SPECS,
+    WIDE_RESNET_STRUCTURES,
+    ResNet,
+    WiderResNetA2,
+)
 from contrastiveseg_tpu.models.vit import VIT_SPECS, ViT
 
 
 def build_backbone(name: str, dtype: Any = jnp.float32, module_name: str = "backbone"):
     """Returns a flax module whose __call__(x, train) -> list of features."""
+    # Exact names first: RESNET_SPECS carries the reference's full arch
+    # zoo with per-name deep_base semantics (deepbase_resnet18 is deep,
+    # resnet34 is not); the deepbase_ strip below remains for the repo's
+    # historical short names, whose specs default deep_base=True.
+    if name in RESNET_SPECS:
+        return ResNet(RESNET_SPECS[name], dtype=dtype, name=module_name)
+    if name in WIDE_RESNET_STRUCTURES:
+        return WiderResNetA2(WIDE_RESNET_STRUCTURES[name], dtype=dtype,
+                             name=module_name)
     name = name.replace("deepbase_", "")
     if name in HRNET_SPECS:
         return HRNet(HRNET_SPECS[name], dtype=dtype, name=module_name)
@@ -45,5 +59,5 @@ def build_backbone(name: str, dtype: Any = jnp.float32, module_name: str = "back
                    name=module_name)
     raise KeyError(
         f"unknown backbone {name!r}; known: "
-        f"{sorted([*HRNET_SPECS, *HRNEXT_SPECS, *RESNET_SPECS, *PVT_SPECS, *VIT_SPECS, 'mobilenetv1', 'mobilenetv2', 'mobilenetv3'])}"
+        f"{sorted([*HRNET_SPECS, *HRNEXT_SPECS, *RESNET_SPECS, *WIDE_RESNET_STRUCTURES, *PVT_SPECS, *VIT_SPECS, 'mobilenetv1', 'mobilenetv2', 'mobilenetv3'])}"
     )

@@ -33,7 +33,8 @@ from contrastiveseg_tpu.models.layers import Bottleneck, ConvBN
 
 @dataclasses.dataclass(frozen=True)
 class ResNetSpec:
-    layers: tuple[int, ...]  # blocks per stage (Bottleneck)
+    layers: tuple[int, ...]  # blocks per stage
+    block: str = "bottleneck"  # bottleneck | basic (resnet18/34)
     deep_base: bool = True
     dilate_scale: int | None = None  # None | 8 | 16
     multi_grid: tuple[int, ...] | None = (1, 1, 1)
@@ -67,6 +68,52 @@ RESNET_SPECS: dict[str, ResNetSpec] = {
         (3, 4, 23, 3), dilate_scale=8, radix=2, width_per_group=64),
     "resnet101_dilated8_dcn": ResNetSpec(
         (3, 4, 23, 3), dilate_scale=8, dcn_layer4=True),
+}
+
+
+def _zoo() -> None:
+    """Every arch string the reference backbone selector accepts
+    (resnet_backbone.py:137-290), with exact deep_base semantics per
+    name.  Exact names are matched before the deepbase_ strip in
+    build_backbone, so deep and plain stems coexist."""
+    layers = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+              101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+    for depth in (18, 34, 50, 101, 152):
+        block = "basic" if depth in (18, 34) else "bottleneck"
+        for deep in (False, True):
+            for dil in (None, 8, 16):
+                name = ("deepbase_" if deep else "") + f"resnet{depth}" + (
+                    f"_dilated{dil}" if dil else "")
+                RESNET_SPECS.setdefault(name, ResNetSpec(
+                    layers[depth], block=block, deep_base=deep,
+                    dilate_scale=dil))
+    for wpg in (8, 16, 32, 48):
+        RESNET_SPECS.setdefault(
+            f"resnext101_32x{wpg}d_dilated8",
+            ResNetSpec((3, 4, 23, 3), deep_base=False, dilate_scale=8,
+                       groups=32, width_per_group=wpg))
+    resnest_layers = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
+                      200: (3, 24, 36, 3), 269: (3, 30, 48, 8)}
+    for depth, l in resnest_layers.items():
+        RESNET_SPECS.setdefault(
+            f"deepbase_resnest{depth}_dilated8",
+            ResNetSpec(l, deep_base=True, dilate_scale=8, radix=2,
+                       width_per_group=64))
+    for depth in (50, 101):
+        for dil in (8, 16):
+            RESNET_SPECS.setdefault(
+                f"deepbase_dcn_resnet{depth}_dilated{dil}",
+                ResNetSpec(layers[depth], deep_base=True, dilate_scale=dil,
+                           dcn_layer4=True))
+
+
+_zoo()
+
+# WiderResNetA2 depth -> module structure (resnet_models.py:288-313).
+WIDE_RESNET_STRUCTURES: dict[str, tuple[int, ...]] = {
+    "wide_resnet16_dilated8": (1, 1, 1, 1, 1, 1),
+    "wide_resnet20_dilated8": (1, 1, 1, 3, 1, 1),
+    "wide_resnet38_dilated8": (3, 3, 6, 3, 1, 1),
 }
 
 
@@ -261,11 +308,19 @@ class ResNet(nn.Module):
         feats.append(x)
         is_variant = (spec.groups != 1 or spec.width_mult != 1.0
                       or spec.dcn_layer4 or spec.radix > 0)
+        expansion = 1 if spec.block == "basic" else 4
         for si, (w, n, stride, dil) in enumerate(_stage_plan(spec)):
             for b in range(n):
                 s = stride if b == 0 else 1
-                need_ds = b == 0 and (s != 1 or x.shape[-1] != w * 4)
-                if is_variant:
+                need_ds = b == 0 and (s != 1 or x.shape[-1] != w * expansion)
+                if spec.block == "basic":
+                    from contrastiveseg_tpu.models.layers import BasicBlock
+
+                    x = BasicBlock(
+                        w, strides=s, dilation=dil[b], downsample=need_ds,
+                        dtype=self.dtype, name=f"layer{si + 1}_block{b}",
+                    )(x, train)
+                elif is_variant:
                     x = VariantBottleneck(
                         w, strides=s, dilation=dil[b], downsample=need_ds,
                         groups=spec.groups,
@@ -281,4 +336,100 @@ class ResNet(nn.Module):
                         dtype=self.dtype, name=f"layer{si + 1}_block{b}",
                     )(x, train)
             feats.append(x)
+        return feats
+
+
+class _BNReLU(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        from contrastiveseg_tpu.models.layers import TorchBatchNorm
+
+        return nn.relu(TorchBatchNorm(dtype=self.dtype, name="bn")(x, train))
+
+
+class IdentityResidualBlock(nn.Module):
+    """Pre-activation (identity-mapping) residual block of WiderResNetA2
+    (wide_resnet_models.py:24-103): BN-ReLU first, then either a 3x3+3x3
+    pair (two channel values) or a 1x1/3x3/1x1 bottleneck (three), with
+    the projection shortcut taken from the *pre-activated* input."""
+
+    channels: tuple[int, ...]
+    strides: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        cs = self.channels
+        need_proj = self.strides != 1 or x.shape[-1] != cs[-1]
+        bn1 = _BNReLU(dtype=self.dtype, name="bn1")(x, train)
+        shortcut = x
+        if need_proj:
+            shortcut = nn.Conv(cs[-1], (1, 1),
+                               strides=(self.strides, self.strides),
+                               use_bias=False, dtype=self.dtype,
+                               name="proj_conv")(bn1)
+        pad = self.dilation
+        if len(cs) == 2:
+            y = nn.Conv(cs[0], (3, 3), strides=(self.strides, self.strides),
+                        padding=[(pad, pad), (pad, pad)],
+                        kernel_dilation=(self.dilation, self.dilation),
+                        use_bias=False, dtype=self.dtype, name="conv1")(bn1)
+            y = _BNReLU(dtype=self.dtype, name="bn2")(y, train)
+            y = nn.Conv(cs[1], (3, 3),
+                        padding=[(pad, pad), (pad, pad)],
+                        kernel_dilation=(self.dilation, self.dilation),
+                        use_bias=False, dtype=self.dtype, name="conv2")(y)
+        else:
+            y = nn.Conv(cs[0], (1, 1), strides=(self.strides, self.strides),
+                        use_bias=False, dtype=self.dtype, name="conv1")(bn1)
+            y = _BNReLU(dtype=self.dtype, name="bn2")(y, train)
+            y = nn.Conv(cs[1], (3, 3),
+                        padding=[(pad, pad), (pad, pad)],
+                        kernel_dilation=(self.dilation, self.dilation),
+                        use_bias=False, dtype=self.dtype, name="conv2")(y)
+            y = _BNReLU(dtype=self.dtype, name="bn3")(y, train)
+            y = nn.Conv(cs[2], (1, 1), use_bias=False, dtype=self.dtype,
+                        name="conv3")(y)
+        return y + shortcut
+
+
+class WiderResNetA2(nn.Module):
+    """WiderResNetA2 (wide_resnet16/20/38 — wide_resnet_models.py:107-215)
+    with ``dilation=True`` semantics: max-pool downsampling into mods 2-3,
+    strided conv into mod 4, dilation 2 in mod 5 and 4 in mods 6-7
+    (output stride 8).  Returns [mod4, mod5, mod6, BNReLU(mod7)]."""
+
+    structure: tuple[int, ...]  # six module depths
+    dtype: Any = jnp.float32
+
+    _CHANNELS = ((128, 128), (256, 256), (512, 512), (512, 1024),
+                 (512, 1024, 2048), (1024, 2048, 4096))
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> list[jnp.ndarray]:
+        assert len(self.structure) == 6
+        x = nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="mod1_conv1")(x)
+        feats = []
+        for mod_id, num in enumerate(self.structure):
+            if mod_id < 2:
+                x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                                padding=((1, 1), (1, 1)))
+            dil = 2 if mod_id == 3 else (4 if mod_id > 3 else 1)
+            for block_id in range(num):
+                stride = 2 if block_id == 0 and mod_id == 2 else 1
+                x = IdentityResidualBlock(
+                    self._CHANNELS[mod_id], strides=stride, dilation=dil,
+                    dtype=self.dtype,
+                    name=f"mod{mod_id + 2}_block{block_id + 1}",
+                )(x, train)
+            if mod_id >= 2:
+                if mod_id == 5:
+                    feats.append(_BNReLU(dtype=self.dtype, name="bn_out")(
+                        x, train))
+                else:
+                    feats.append(x)
         return feats

@@ -30,12 +30,28 @@ class PVTSpec:
 
 
 PVT_SPECS = {
+    # pvt_backbone.py:277-333 factories.
+    "pvt_tiny": PVTSpec(depths=(2, 2, 2, 2)),
     "pvt_small": PVTSpec(),
     "pvt_medium": PVTSpec(depths=(3, 4, 18, 3)),
+    "pvt_large": PVTSpec(depths=(3, 8, 27, 3)),
+    # pcpvt_backbone.py:318-326: same depth tables + PosCNN.
+    "pcpvt_tiny": PVTSpec(depths=(2, 2, 2, 2), pos_cnn=True),
     "pcpvt_small": PVTSpec(pos_cnn=True),
-    "pcpvt_base": PVTSpec(depths=(3, 4, 18, 3), pos_cnn=True),
+    "pcpvt_medium": PVTSpec(depths=(3, 4, 18, 3), pos_cnn=True),
+    "pcpvt_base": PVTSpec(depths=(3, 4, 18, 3), pos_cnn=True),  # alias
+    "pcpvt_large": PVTSpec(depths=(3, 8, 27, 3), pos_cnn=True),
+    # svt_backbone.py:305-341 (Twins-SVT).
     "svt_small": PVTSpec(dims=(64, 128, 256, 512), heads=(2, 4, 8, 16),
                          depths=(2, 2, 10, 4), pos_cnn=True,
+                         local_windows=(7, 7, 7, 7),
+                         mlp_ratios=(4.0, 4.0, 4.0, 4.0)),
+    "svt_base": PVTSpec(dims=(96, 192, 384, 768), heads=(3, 6, 12, 24),
+                        depths=(2, 2, 18, 2), pos_cnn=True,
+                        local_windows=(7, 7, 7, 7),
+                        mlp_ratios=(4.0, 4.0, 4.0, 4.0)),
+    "svt_large": PVTSpec(dims=(128, 256, 512, 1024), heads=(4, 8, 16, 32),
+                         depths=(2, 2, 18, 2), pos_cnn=True,
                          local_windows=(7, 7, 7, 7),
                          mlp_ratios=(4.0, 4.0, 4.0, 4.0)),
 }

@@ -52,9 +52,12 @@ def build_backbone(name: str, dtype: Any = jnp.float32, module_name: str = "back
     if name in HRNEXT_SPECS:
         return HRNetNext(arch=name, dtype=dtype, name=module_name)
     if name.startswith("mobilenet"):
+        # Accept both the reference's 'mobilenet_v1' spelling
+        # (backbone_selector.py:52-58) and the compact 'mobilenetv1'.
         dilate = 8 if "dilated8" in name else (16 if "dilated16" in name else None)
-        cls = {"mobilenetv1": MobileNetV1, "mobilenetv2": MobileNetV2,
-               "mobilenetv3": MobileNetV3}[name.split("_")[0]]
+        version = name.replace("mobilenet", "").replace("_", "")[:2]
+        cls = {"v1": MobileNetV1, "v2": MobileNetV2,
+               "v3": MobileNetV3}[version]
         return cls(MobileNetSpec(dilate_scale=dilate), dtype=dtype,
                    name=module_name)
     raise KeyError(

@@ -140,3 +140,17 @@ def test_mobilenet_v1_v3():
         v = m.init(jax.random.key(0), x, train=False)
         feats = m.apply(v, x, train=False)
         assert feats[-1].shape == (1, 4, 8, main_ch), (name, feats[-1].shape)
+
+
+def test_mobilenet_reference_name_spelling():
+    """The reference selector matches 'mobilenet_v1' etc. with underscores
+    (backbone_selector.py:52-58); both spellings must resolve."""
+    from contrastiveseg_tpu.models.backbone_selector import build_backbone
+
+    for name, cls_name in (("mobilenet_v1", "MobileNetV1"),
+                           ("mobilenet_v2_dilated8", "MobileNetV2"),
+                           ("mobilenet_v3", "MobileNetV3"),
+                           ("mobilenetv2", "MobileNetV2")):
+        m = build_backbone(name)
+        assert type(m).__name__ == cls_name
+    assert build_backbone("mobilenet_v2_dilated8").spec.dilate_scale == 8

@@ -145,16 +145,86 @@ def hrnet_seg_path(path: tuple[str, ...]) -> Optional[TorchKey]:
         if path[1] == "cls":
             return _plain_conv("cls_head.3", path[2:])
     if path[0] == "proj_head":
-        # torch: proj = Sequential(Conv2d, BNReLU(=Sequential(BN, ReLU)), Conv2d)
-        if path[1] == "fc1":
-            return _plain_conv("proj_head.proj.0", path[2:])
-        if len(path) == 4 and path[1] == "norm" and path[2] == "bn":
-            fold = "proj_head.proj.0.bias" if path[3] == "mean" else None
-            # fc1 *keeps* its bias on our side, so no fold is needed there.
-            return TorchKey(f"proj_head.proj.1.0.{_BN_LEAF[path[3]]}",
-                            fold_bias_key=None)
-        if path[1] == "fc2":
-            return _plain_conv("proj_head.proj.2", path[2:])
+        return _proj_head(path[1:])
+    return None
+
+
+def _proj_head(sub: tuple[str, ...]) -> Optional[TorchKey]:
+    """ProjectionHead convmlp: torch proj = Sequential(Conv2d,
+    BNReLU(=Sequential(BN, ReLU)), Conv2d) (modules/projection.py:8-24)."""
+    if sub[0] == "fc1":
+        return _plain_conv("proj_head.proj.0", sub[1:])
+    if len(sub) == 3 and sub[0] == "norm" and sub[1] == "bn":
+        # fc1 *keeps* its bias on our side, so no fold is needed here.
+        return TorchKey(f"proj_head.proj.1.0.{_BN_LEAF[sub[2]]}",
+                        fold_bias_key=None)
+    if sub[0] == "fc2":
+        return _plain_conv("proj_head.proj.2", sub[1:])
+    return None
+
+
+def _bnact(base_bn: str, sub: tuple[str, ...]) -> Optional[TorchKey]:
+    """ConvBNAct/TorchBatchNorm leaf ('bn','bn',leaf) -> a torch BN."""
+    if len(sub) == 3 and sub[:2] == ("bn", "bn"):
+        return TorchKey(f"{base_bn}.{_BN_LEAF[sub[2]]}")
+    return None
+
+
+def _ocr_distri(sub: tuple[str, ...]) -> Optional[TorchKey]:
+    """SpatialOCR (models/ocr.py) -> SpatialOCR_Module
+    (lib/models/modules/spatial_ocr_block.py:216-310): the
+    ObjectAttentionBlock2D double-conv stacks are torch Sequentials
+    [conv, BNReLU, conv, BNReLU] and f_down/f_up are [conv, BNReLU]."""
+    base = "ocr_distri_head"
+    if sub[0] == "project":
+        return _convbn(f"{base}.conv_bn_dropout.0",
+                       f"{base}.conv_bn_dropout.1.0", sub[1:])
+    if sub[0] != "object_attention":
+        return None
+    ob = f"{base}.object_context_block"
+    s = sub[1:]
+    m = re.fullmatch(r"f_(pixel|object)_(\d)", s[0])
+    if m:
+        idx = 0 if m.group(2) == "1" else 2
+        return _plain_conv(f"{ob}.f_{m.group(1)}.{idx}", s[1:])
+    m = re.fullmatch(r"f_(pixel|object)_bn(\d)", s[0])
+    if m:
+        idx = 1 if m.group(2) == "1" else 3
+        return _bnact(f"{ob}.f_{m.group(1)}.{idx}.0", s[1:])
+    if s[0] == "f_down":
+        return _plain_conv(f"{ob}.f_down.0", s[1:])
+    if s[0] == "f_down_bn":
+        return _bnact(f"{ob}.f_down.1.0", s[1:])
+    if s[0] == "f_up":
+        return _plain_conv(f"{ob}.f_up.0", s[1:])
+    if s[0] == "f_up_bn":
+        return _bnact(f"{ob}.f_up.1.0", s[1:])
+    return None
+
+
+def hrnet_ocr_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """HRNetOCRSeg (models/nets.py) -> reference HRNet_W48_OCR[_B]
+    [_CONTRAST] (lib/models/nets/hrnet.py:98-150,191-250): backbone +
+    aux_head + conv3x3 + OCR distribute head + cls + optional proj."""
+    if path[0] == "backbone":
+        tk = hrnet_backbone_path(path[1:])
+        if tk is not None:
+            tk.key = f"backbone.{tk.key}"
+            if tk.fold_bias_key:
+                tk.fold_bias_key = f"backbone.{tk.fold_bias_key}"
+        return tk
+    if path[0] == "aux_conv":
+        return _convbn("aux_head.0", "aux_head.1.0", path[1:])
+    if path[0] == "aux_cls":
+        return _plain_conv("aux_head.2", path[1:])
+    if path[0] == "conv3x3":
+        return _convbn("conv3x3.0", "conv3x3.1.0", path[1:])
+    if path[0] == "ocr_distri":
+        return _ocr_distri(path[1:])
+    if path[0] == "cls":
+        return _plain_conv("cls_head", path[1:])
+    if path[0] == "proj_head":
+        return _proj_head(path[1:])
     return None
 
 
@@ -218,7 +288,22 @@ PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "hrnet_backbone": hrnet_backbone_path,
     "resnet_backbone": resnet_backbone_path,
     "deeplab": deeplab_path,
+    "hrnet_ocr": hrnet_ocr_path,
 }
+
+
+def mapper_for_model(model_name: str) -> str:
+    """Registry model name -> PATH_MAPPERS key (tools/import_torch_ckpt.py)."""
+    if "ocr" in model_name and model_name.startswith("hrnet"):
+        return "hrnet_ocr"
+    if model_name.startswith("deeplab"):
+        return "deeplab"
+    if model_name.startswith("hrnet"):
+        return "hrnet_seg"
+    raise KeyError(
+        f"no torch-import mapper for {model_name!r}; use --mapper to pick "
+        f"one of {sorted(PATH_MAPPERS)} or import the backbone only"
+    )
 
 
 def convert_state_dict(

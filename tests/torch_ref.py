@@ -129,12 +129,45 @@ def _install_yacs_shim():
     sys.modules["yacs.config"] = config
 
 
+def _install_torchcontrib_shim():
+    """segmentor/tools/optim_scheduler.py imports torchcontrib (SWA) at
+    module top; only the swa_* policies touch it."""
+    if "torchcontrib" in sys.modules:
+        return
+    torchcontrib = types.ModuleType("torchcontrib")
+    optim = types.ModuleType("torchcontrib.optim")
+
+    class SWA:  # placeholder: constructing it means a swa_* policy was used
+        def __init__(self, *a, **k):
+            raise NotImplementedError("torchcontrib SWA shim")
+
+    optim.SWA = SWA
+    torchcontrib.optim = optim
+    sys.modules["torchcontrib"] = torchcontrib
+    sys.modules["torchcontrib.optim"] = optim
+
+
+def _patch_pil_cubic():
+    """Pillow >= 10 removed Image.CUBIC; pil_aug_transforms.py uses it."""
+    try:
+        from PIL import Image
+
+        if not hasattr(Image, "CUBIC"):
+            Image.CUBIC = Image.BICUBIC
+        if not hasattr(Image, "NEAREST"):
+            Image.NEAREST = Image.Resampling.NEAREST
+    except ImportError:
+        pass
+
+
 def setup_reference():
     """Make `lib.*` importable; returns the reference root."""
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     _install_timm_shim()
     _install_yacs_shim()
+    _install_torchcontrib_shim()
+    _patch_pil_cubic()
     return REFERENCE_ROOT
 
 
@@ -194,6 +227,21 @@ def build_hrnet_contrast(num_classes=19, proj_dim=256, seed=0):
 def state_dict_numpy(net) -> dict:
     """state_dict as {key: np.float32 array}."""
     return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+
+
+def build_hrnet_ocr_contrast(num_classes=19, proj_dim=256, seed=0):
+    """Reference HRNet_W48_OCR_CONTRAST (lib/models/nets/hrnet.py:98-150)."""
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    c = build_configer({"data": {"num_classes": num_classes},
+                        "contrast": {"proj_dim": proj_dim}})
+    from lib.models.nets.hrnet import HRNet_W48_OCR_CONTRAST
+
+    net = HRNet_W48_OCR_CONTRAST(c)
+    net.eval()
+    return net
 
 
 def build_deeplab_contrast(num_classes=19, proj_dim=256, seed=0,

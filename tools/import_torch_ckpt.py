@@ -63,6 +63,9 @@ def main() -> None:
                     help="'seg': full reference segmentor ckpt; 'imagenet': "
                          "backbone-only pretrained ckpt (heads stay at init)")
     ap.add_argument("--out", required=True, help="output .msgpack path")
+    ap.add_argument("--mapper", default=None,
+                    help="override PATH_MAPPERS choice (default: derived "
+                         "from --model, incl. the OCR family)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -102,7 +105,7 @@ def main() -> None:
                   .replace("backbone.bn1.", "backbone.resinit.bn1."): v
                   for k, v in sd.items()}
 
-    mapper = "deeplab" if is_deeplab else "hrnet_seg"
+    mapper = args.mapper or ti.mapper_for_model(args.model)
     newvars, report = ti.convert_state_dict(variables, sd, mapper,
                                             strict=True)
     print(f"loaded {len(report['loaded'])} leaves; "

@@ -33,7 +33,16 @@ def encode_label_map(label: np.ndarray, label_list: Sequence[int]) -> np.ndarray
 
 
 class DirectorySegDataset:
-    """`{root}/{split}/image/*` + `{root}/{split}/label/*` pairs."""
+    """`{root}/{split}/image/*` + `{root}/{split}/label/*` pairs.
+
+    Extra-set merging mirrors the reference's coarse-data training recipes
+    (default_loader.py:145-256): for the train split, ``include_val``
+    appends the val set (pascal_voc: replaces with trainval),
+    ``include_coarse``/``include_atr`` append those label dirs,
+    ``only_coarse``/``only_mapillary`` replace the base list entirely.
+    Extra sets are listed from the *label* directory like the reference
+    (missing image/label partners are skipped, not errors).
+    """
 
     def __init__(
         self,
@@ -43,6 +52,12 @@ class DirectorySegDataset:
         reduce_zero_label: bool = False,
         ignore_relabel: tuple[int, int] = (255, -1),
         use_file_list: Optional[str] = None,
+        include_val: bool = False,
+        include_coarse: bool = False,
+        include_atr: bool = False,
+        only_coarse: bool = False,
+        only_mapillary: bool = False,
+        dataset_name: str = "",
     ):
         self.root = root
         self.split = split
@@ -67,6 +82,55 @@ class DirectorySegDataset:
                 (os.path.join(img_dir, n), self._label_path(lab_dir, n))
                 for n in names
             ]
+        if split == "train":
+            if include_val:  # default_loader.py:145-180
+                if dataset_name == "pascal_voc":
+                    self.items = self._list_split("trainval")
+                else:
+                    self.items += self._list_split("val")
+            if include_coarse:  # :182-198
+                self.items += self._list_by_label("coarse")
+            if include_atr:  # :200-215
+                self.items += self._list_by_label("atr")
+            if only_coarse:  # :217-235
+                self.items = self._list_by_label("coarse")
+            if only_mapillary:  # :237-254
+                self.items = self._list_by_label("mapillary")
+
+    def _list_split(self, split: str) -> list:
+        img_dir = os.path.join(self.root, split, "image")
+        lab_dir = os.path.join(self.root, split, "label")
+        names = sorted(
+            n for n in os.listdir(img_dir) if n.lower().endswith(IMG_EXTS)
+        )
+        return [
+            (os.path.join(img_dir, n), self._label_path(lab_dir, n))
+            for n in names
+            if self._label_path(lab_dir, n) is not None
+        ]
+
+    def _list_by_label(self, subset: str) -> list:
+        """Reference extra-set listing: walk the label dir, pair with the
+        image dir, skip missing partners (default_loader.py:187-198)."""
+        img_dir = os.path.join(self.root, subset, "image")
+        lab_dir = os.path.join(self.root, subset, "label")
+        items = []
+        if not os.path.isdir(lab_dir):
+            return items
+        for n in sorted(os.listdir(lab_dir)):
+            if not n.lower().endswith(IMG_EXTS):
+                continue
+            stem = os.path.splitext(n)[0]
+            img_path = None
+            for ext in IMG_EXTS:
+                p = os.path.join(img_dir, stem + ext)
+                if os.path.exists(p):
+                    img_path = p
+                    break
+            if img_path is None:
+                continue
+            items.append((img_path, os.path.join(lab_dir, n)))
+        return items
 
     @staticmethod
     def _label_path(lab_dir: str, img_name: str) -> Optional[str]:
@@ -166,6 +230,14 @@ def build_dataset(cfg, split: str = "train"):
         reduce_zero_label=cfg.get("data.reduce_zero_label", default=False),
         use_file_list=cfg.get("data.use_file_list", default=None),
     )
+    extra_sets = dict(
+        include_val=cfg.get("data.include_val", default=False),
+        include_coarse=cfg.get("data.include_coarse", default=False),
+        include_atr=cfg.get("data.include_atr", default=False),
+        only_coarse=cfg.get("data.only_coarse", default=False),
+        only_mapillary=cfg.get("data.only_mapillary", default=False),
+        dataset_name=cfg.get("dataset", default=""),
+    )
     loader = cfg.get("data.loader", default="default")
     if loader == "lip":
         from contrastiveseg_tpu.data.loaders_extra import LipDataset
@@ -181,4 +253,4 @@ def build_dataset(cfg, split: str = "train"):
             ),
             **kwargs,
         )
-    return DirectorySegDataset(**kwargs)
+    return DirectorySegDataset(**kwargs, **extra_sets)

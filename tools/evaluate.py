@@ -85,6 +85,20 @@ def main() -> None:
                     help="inputs already use train ids")
     args = ap.parse_args()
 
+    from contrastiveseg_tpu.metrics.dataset_evaluators import EVALUATORS
+
+    if args.dataset in EVALUATORS:
+        # Per-dataset conventions (ade20k/pascal_context shift-by-one,
+        # coco_stuff id remap + gt void) — reference
+        # lib/metrics/{ade20k,cocostuff,pascal_context}_evaluator.py.
+        ev = EVALUATORS[args.dataset](args.num_classes)
+        r = ev.evaluate(args.pred_dir, args.gt_dir)
+        print(f"evaluated {r['images']} images")
+        for i, iou in enumerate(r["cls_iou"]):
+            print(f"  class{i:<11} IoU {iou:.4f}")
+        print(f"mIoU: {r['miou']:.4f}  pixelAcc: {r['pixel_acc']:.4f}")
+        return
+
     label_list = CITYSCAPES_LABEL_LIST if args.dataset == "cityscapes" else None
     scores = evaluate_dirs(
         args.pred_dir, args.gt_dir, args.num_classes, label_list,

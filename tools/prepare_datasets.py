@@ -148,11 +148,191 @@ def prepare_pascal_context(root: str, out: str, link: bool) -> dict:
     return counts
 
 
+def prepare_camvid(root: str, out: str, link: bool) -> dict:
+    """CamVid: {root}/{split}/{image,label} pairs copied through
+    (camvid_generator.py:60-95).  Divergence: the reference renames labels
+    to `{stem}_1_1.png` while leaving images unrenamed, which breaks its
+    own DefaultLoader stem-pairing — we keep matching stems instead."""
+    counts = {}
+    for split in ("train", "val", "test"):
+        img_dir = os.path.join(root, split, "image")
+        lab_dir = os.path.join(root, split, "label")
+        n = 0
+        if not os.path.isdir(img_dir):
+            counts[split] = 0
+            continue
+        for f in sorted(os.listdir(img_dir)):
+            stem, ext = os.path.splitext(f)
+            if ext.lower() not in (".png", ".jpg", ".jpeg", ".bmp"):
+                continue
+            lab = os.path.join(lab_dir, f)
+            if not os.path.exists(lab):
+                lab = os.path.join(lab_dir, stem + ".png")
+            if not os.path.exists(lab):
+                continue
+            _place(os.path.join(img_dir, f),
+                   os.path.join(out, split, "image", f), link)
+            _place(lab, os.path.join(out, split, "label", stem + ".png"),
+                   link)
+            n += 1
+        counts[split] = n
+    return counts
+
+
+# Cityscapes raw-id by class name (mapillary_generator.py:70-76).
+_CITY_NAME_TO_ID = {
+    "road": 7, "sidewalk": 8, "building": 11, "wall": 12, "fence": 13,
+    "pole": 17, "trafficlight": 19, "trafficsign": 20, "vegetation": 21,
+    "terrain": 22, "sky": 23, "person": 24, "rider": 25, "car": 26,
+    "truck": 27, "bus": 28, "train": 31, "motorcycle": 32, "bicycle": 33,
+}
+
+
+def mapillary_to_cityscapes_table(labels: list[dict]) -> "np.ndarray":
+    """Mapillary label list (config.json) -> cityscapes raw ids, with the
+    reference's name-matching fallbacks (mapillary_generator.py:78-115)."""
+    import numpy as np
+
+    table = np.full(len(labels), 255, np.uint8)
+    for i, label in enumerate(labels):
+        name = label["readable"].lower().replace(" ", "").replace("-", "")
+        if name in _CITY_NAME_TO_ID:
+            table[i] = _CITY_NAME_TO_ID[name]
+        elif "trafficsign" in name or "front" in name or "back" in name:
+            table[i] = _CITY_NAME_TO_ID["trafficsign"]
+        elif "onrail" in name:
+            table[i] = _CITY_NAME_TO_ID["train"]
+        elif "cyclist" in name or "rider" in name:
+            table[i] = _CITY_NAME_TO_ID["rider"]
+        elif "pole" in name or "streetlight" in name:
+            table[i] = _CITY_NAME_TO_ID["pole"]
+        elif "curb" in name or "pedestrianarea" in name:
+            table[i] = _CITY_NAME_TO_ID["sidewalk"]
+        elif ("crosswalkplain" in name or "parking" in name
+              or "bikelane" in name or "servicelane" in name
+              or "lanemarking" in name):
+            table[i] = _CITY_NAME_TO_ID["road"]
+    return table
+
+
+def prepare_mapillary(root: str, out: str, link: bool) -> dict:
+    """Mapillary Vistas -> cityscapes-raw-id labels
+    (mapillary_generator.py): reads {root}/config.json for the label
+    names, remaps {root}/{split}/label/*.png through the name-match
+    table, passes images through.  Output labels pair with
+    `data.label_list` (cityscapes raw ids) or the only_mapillary extra
+    set."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    with open(os.path.join(root, "config.json")) as f:
+        labels = json.load(f)["labels"]
+    table = mapillary_to_cityscapes_table(labels)
+
+    counts = {}
+    for split in ("train", "val"):
+        img_dir = os.path.join(root, split, "image")
+        lab_dir = os.path.join(root, split, "label")
+        n = 0
+        if not os.path.isdir(lab_dir):
+            counts[split] = 0
+            continue
+        for f in sorted(os.listdir(lab_dir)):
+            if not f.endswith(".png"):
+                continue
+            mask = np.asarray(Image.open(os.path.join(lab_dir, f)))
+            if mask.ndim == 3:
+                mask = mask[..., 0]
+            remapped = table[mask]
+            dst = os.path.join(out, split, "label", f)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            Image.fromarray(remapped).save(dst)
+            stem = os.path.splitext(f)[0]
+            for ext in (".jpg", ".png", ".jpeg"):
+                src_img = os.path.join(img_dir, stem + ext)
+                if os.path.exists(src_img):
+                    _place(src_img,
+                           os.path.join(out, split, "image", stem + ext),
+                           link)
+                    break
+            n += 1
+        counts[split] = n
+    return counts
+
+
+# CelebAMask-HQ part order (celebmask_label_generator.py:18-19): part i
+# gets label id i+1; 0 is background.
+CELEBA_PARTS = [
+    "skin", "nose", "eye_g", "l_eye", "r_eye", "l_brow", "r_brow", "l_ear",
+    "r_ear", "mouth", "u_lip", "l_lip", "hair", "hat", "ear_r", "neck_l",
+    "neck", "cloth",
+]
+
+
+def prepare_celeba(root: str, out: str, link: bool,
+                   val_frac: float = 0.05, test_frac: float = 0.05) -> dict:
+    """CelebAMask-HQ: combine the per-part binary masks
+    ({root}/CelebAMask-HQ-mask-anno/{k//2000}/{k:05d}_{part}.png) into one
+    label map per face (celebmask_label_generator.py:25-44) and partition
+    with the images ({root}/CelebA-HQ-img/{k}.jpg) into train/val/test
+    (celebmask_partition.py; deterministic tail split here instead of the
+    CelebA mapping table, documented divergence)."""
+    import numpy as np
+    from PIL import Image
+
+    anno = os.path.join(root, "CelebAMask-HQ-mask-anno")
+    img_root = os.path.join(root, "CelebA-HQ-img")
+    ks = set()
+    for sub in sorted(os.listdir(anno)):
+        d = os.path.join(anno, sub)
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            if f.endswith(".png") and "_" in f:
+                ks.add(int(f.split("_")[0]))
+    ks = sorted(ks)
+    n_test = max(int(len(ks) * test_frac), 1)
+    n_val = max(int(len(ks) * val_frac), 1)
+    counts = {"train": 0, "val": 0, "test": 0}
+    for pos, k in enumerate(ks):
+        split = ("test" if pos >= len(ks) - n_test
+                 else "val" if pos >= len(ks) - n_test - n_val else "train")
+        label = None
+        for idx, part in enumerate(CELEBA_PARTS):
+            p = os.path.join(anno, str(k // 2000), f"{k:05d}_{part}.png")
+            if not os.path.exists(p):
+                continue
+            im = np.asarray(Image.open(p))
+            if im.ndim == 3:
+                im = im[..., 0]
+            if label is None:
+                label = np.zeros(im.shape, np.uint8)
+            label[im != 0] = idx + 1
+        if label is None:
+            continue
+        dst = os.path.join(out, split, "label", f"{k}.png")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        Image.fromarray(label).save(dst)
+        for ext in (".jpg", ".png"):
+            src_img = os.path.join(img_root, f"{k}{ext}")
+            if os.path.exists(src_img):
+                _place(src_img,
+                       os.path.join(out, split, "image", f"{k}{ext}"), link)
+                break
+        counts[split] += 1
+    return counts
+
+
 CONVERTERS = {
     "ade20k": prepare_ade20k,
     "coco_stuff": prepare_coco_stuff,
     "lip": prepare_lip,
     "pascal_context": prepare_pascal_context,
+    "camvid": prepare_camvid,
+    "mapillary": prepare_mapillary,
+    "celeba": prepare_celeba,
 }
 
 

@@ -178,12 +178,94 @@ class SegFixEvaluator:
         return scores
 
 
+class MLDirectionEvaluator:
+    """MLDirectionTask (reference tasks.py:155-246): multi-label direction
+    validation for sliding-window offset models.
+
+    The model outputs ``mask`` (2ch) and ``ml_dir`` (8ch logits read as
+    per-direction scores); ground truth arrives bit-packed in
+    ``ml_dir_label`` (decoded via encode_multi_labels) plus ``mask_label``.
+    Reports two MultiLabelRunningScore accuracies — against the predicted
+    boundary mask ('ML dir (mask)') and against the GT mask ('ML dir
+    (GT)', the headline metric).
+    """
+
+    def __init__(self, model, shard_fn: Optional[Callable] = None,
+                 topk: int = 8):
+        self.shard_fn = shard_fn
+        self.topk = topk
+
+        def val_step(params, batch_stats, images, hw):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(variables, images, train=False)
+            mask = resize_bilinear_align_corners(out["mask"], hw)
+            ml = resize_bilinear_align_corners(
+                out["ml_dir"] if "ml_dir" in out else out["dir"], hw)
+            return jnp.argmax(mask, -1).astype(jnp.int32), ml
+
+        self._val_step = jax.jit(val_step, static_argnums=(3,))
+        self.reset()
+
+    def reset(self):
+        from contrastiveseg_tpu.metrics.counters import (
+            MultiLabelRunningScore,
+        )
+
+        self.score_mask = MultiLabelRunningScore()
+        self.score_gt = MultiLabelRunningScore()
+
+    def run(self, params, batch_stats, batches) -> dict:
+        from contrastiveseg_tpu.utils.offset_helper import (
+            encode_multi_labels,
+            multilabel_direction_prediction,
+        )
+
+        self.reset()
+        n_images = 0
+        t0 = time.time()
+        for batch in batches:
+            if self.shard_fn is not None:
+                batch = {**batch, **self.shard_fn({"image": batch["image"]})}
+            gt_mask = np.asarray(batch["mask_label"])
+            gt_ml = encode_multi_labels(
+                np.asarray(batch["ml_dir_label"]).astype(np.int64))
+            hw = (gt_mask.shape[1], gt_mask.shape[2])
+            mask_pred, ml_logits = self._val_step(
+                params, batch_stats, batch["image"], hw)
+            mask_pred = np.asarray(mask_pred)
+            ml_logits = np.asarray(ml_logits)
+            for b in range(mask_pred.shape[0]):
+                dir_pred = multilabel_direction_prediction(
+                    ml_logits[b], no_offset_mask=mask_pred[b] == 0,
+                    topk=self.topk)
+                valid_gt = gt_ml[b].sum(-1) > 0
+                self.score_mask.update(
+                    dir_pred.reshape(-1), gt_ml[b].reshape(-1, 8),
+                    ((mask_pred[b] == 1) & valid_gt).reshape(-1))
+                self.score_gt.update(
+                    dir_pred.reshape(-1), gt_ml[b].reshape(-1, 8),
+                    ((gt_mask[b] == 1) & valid_gt).reshape(-1))
+            n_images += mask_pred.shape[0]
+        scores = {
+            "ml_dir_acc_mask": self.score_mask.get_mean_acc(),
+            "ml_dir_acc_gt": self.score_gt.get_mean_acc(),
+            "images_per_sec": n_images / max(time.time() - t0, 1e-9),
+        }
+        scores["miou"] = scores["ml_dir_acc_gt"]  # headline (tasks.py:171)
+        scores["pixel_acc"] = scores["ml_dir_acc_mask"]
+        return scores
+
+
 def build_evaluator(cfg, model, shard_fn=None):
     """Pick the task evaluator from config (evaluator/__init__.py:11)."""
     kind = cfg.get("val.evaluator", default=None)
     if kind is None:
         kind = ("segfix" if cfg.get("network.model_name", default="")
                 .startswith("segfix") else "seg")
+    if kind in ("ml_dir", "ml_direction"):
+        return MLDirectionEvaluator(model, shard_fn=shard_fn)
     if kind == "segfix":
         return SegFixEvaluator(
             model,

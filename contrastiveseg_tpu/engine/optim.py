@@ -64,6 +64,15 @@ def build_schedule(cfg) -> Callable:
         def sched(step):  # noqa: E306
             k = sum(jnp.asarray(step) >= s for s in stepvalues)
             return base_lr * gamma ** k
+    elif policy == "plateau":
+        # ReduceLROnPlateau (optim_scheduler.py:117-125).  The decay is NOT
+        # a function of the step: the PlateauController (below) watches the
+        # validation metric and rescales the injected `plateau_scale`
+        # hyperparam between steps (no recompile).  Note the reference
+        # actually steps its plateau scheduler with the *iteration count*
+        # (trainer loop, trainer_contrastive.py:193-196) — a bug that makes
+        # it decay on a timer; we wire the real metric instead.
+        sched = lambda step: base_lr  # noqa: E731
     else:
         raise NotImplementedError(f"lr policy {policy!r}")
     if cfg.get("lr.is_warm", default=False):
@@ -115,7 +124,95 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
     clip = cfg.get("network.clip_grad_norm", default=None)
     if clip:
         tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
+    if cfg.get("lr.lr_policy", default="lambda_poly") == "plateau":
+        tx = optax.chain(
+            tx, optax.inject_hyperparams(optax.scale)(step_size=1.0)
+        )
     return tx
+
+
+class PlateauController:
+    """torch ``ReduceLROnPlateau`` state machine on a multiplicative scale.
+
+    Mirrors the reference's plateau hyperparams
+    (optim_scheduler.py:117-125): mode/factor/patience/threshold/
+    threshold_mode/cooldown/min_lr.  ``step(metric)`` returns the current
+    LR scale in [min_scale, 1]; the Trainer writes it into the optimizer's
+    injected ``plateau`` hyperparam via :func:`set_plateau_scale`.
+    """
+
+    def __init__(self, mode: str = "max", factor: float = 0.1,
+                 patience: int = 10, threshold: float = 1e-4,
+                 threshold_mode: str = "rel", cooldown: int = 0,
+                 min_scale: float = 0.0):
+        assert mode in ("min", "max") and threshold_mode in ("rel", "abs")
+        self.mode, self.factor, self.patience = mode, factor, patience
+        self.threshold, self.threshold_mode = threshold, threshold_mode
+        self.cooldown, self.min_scale = cooldown, min_scale
+        self.best = math.inf if mode == "min" else -math.inf
+        self.num_bad = 0
+        self.cooldown_left = 0
+        self.scale = 1.0
+
+    @classmethod
+    def from_config(cls, cfg) -> "PlateauController":
+        p = cfg.get("lr.plateau", default={})
+        base_lr = float(cfg.get("lr.base_lr"))
+        return cls(
+            mode=p.get("mode", "max"),
+            factor=p.get("factor", 0.1),
+            patience=p.get("patience", 10),
+            threshold=p.get("threshold", 1e-4),
+            threshold_mode=p.get("thre_mode", p.get("threshold_mode", "rel")),
+            cooldown=p.get("cooldown", 0),
+            min_scale=p.get("min_lr", 0.0) / base_lr if base_lr else 0.0,
+        )
+
+    def _is_better(self, metric: float) -> bool:
+        if self.mode == "min":
+            thr = (self.best * (1 - self.threshold)
+                   if self.threshold_mode == "rel"
+                   else self.best - self.threshold)
+            return metric < thr
+        thr = (self.best * (1 + self.threshold)
+               if self.threshold_mode == "rel" else self.best + self.threshold)
+        return metric > thr
+
+    def step(self, metric: float) -> float:
+        # Exact torch ReduceLROnPlateau.step ordering: cooldown decrements
+        # every step (and suppresses num_bad), the decay check runs after.
+        if self._is_better(metric):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.cooldown_left > 0:
+            self.cooldown_left -= 1
+            self.num_bad = 0
+        if self.num_bad > self.patience:
+            self.scale = max(self.scale * self.factor, self.min_scale)
+            self.cooldown_left = self.cooldown
+            self.num_bad = 0
+        return self.scale
+
+
+def set_plateau_scale(opt_state, scale: float):
+    """Rewrite the injected ``step_size`` hyperparam in an opt-state tree
+    (no recompile: it is a state leaf, not a trace-time constant)."""
+    import jax
+
+    def rewrite(node):
+        if hasattr(node, "hyperparams") and "step_size" in getattr(
+                node, "hyperparams", {}):
+            hp = dict(node.hyperparams)
+            hp["step_size"] = jnp.asarray(scale, jnp.float32)
+            return node._replace(hyperparams=hp)
+        return node
+
+    return jax.tree_util.tree_map(
+        rewrite, opt_state,
+        is_leaf=lambda n: hasattr(n, "hyperparams"),
+    )
 
 
 def _build_groups(cfg, params) -> optax.GradientTransformation:

@@ -105,7 +105,16 @@ class Trainer:
                 "contrast.include_class0", default=True
             ),
             donate=cfg.get("network.donate", default=True),
+            exact_sampling=cfg.get("contrast.exact_sampling", default=False),
+            freeze_bn=cfg.get("network.freeze_bn", default=False),
         )
+        # plateau LR: val-metric-driven scale (engine/optim.py:PlateauController).
+        self.plateau = None
+        if cfg.get("lr.lr_policy", default="lambda_poly") == "plateau":
+            from contrastiveseg_tpu.engine.optim import PlateauController
+
+            self.plateau = PlateauController.from_config(cfg)
+
         from contrastiveseg_tpu.engine.evaluator import build_evaluator
 
         self.evaluator = build_evaluator(
@@ -248,6 +257,15 @@ class Trainer:
                 self.ckpt.save(self.state, "latest")
             if test_interval and (it + 1) % test_interval == 0:
                 last_scores = self.validate()
+                if self.plateau is not None:
+                    from contrastiveseg_tpu.engine.optim import (
+                        set_plateau_scale,
+                    )
+
+                    scale = self.plateau.step(last_scores["miou"])
+                    self.state = self.state.replace(
+                        opt_state=set_plateau_scale(
+                            self.state.opt_state, scale))
             if self._stop_requested:
                 self.ckpt.save(self.state, "latest")
                 self.log.info(

@@ -40,12 +40,19 @@ class MultiLabelRunningScore:
 
     def update(self, pred_idx: np.ndarray, gt_multihot: np.ndarray,
                valid: np.ndarray | None = None) -> None:
-        """pred_idx [N] int; gt_multihot [N, D] {0,1}."""
+        """pred_idx [N] int; gt_multihot [N, D] {0,1}.
+
+        Out-of-range predictions (the 'non-boundary' extra class the ML
+        direction task assigns where the predicted mask is 0,
+        tasks.py:205-207) count as misses."""
         if valid is None:
             valid = gt_multihot.sum(-1) > 0
+        d = gt_multihot.shape[-1]
+        in_range = (pred_idx >= 0) & (pred_idx < d)
         hit = np.take_along_axis(
-            gt_multihot, pred_idx[:, None], axis=-1
+            gt_multihot, np.clip(pred_idx, 0, d - 1)[:, None], axis=-1
         )[:, 0] > 0
+        hit = hit & in_range
         self.correct += int((hit & valid).sum())
         self.total += int(valid.sum())
 

@@ -144,3 +144,48 @@ def sobel_kernel(ksize: int = 11) -> tuple[np.ndarray, np.ndarray]:
         return k
 
     return one(0), one(1)
+
+
+def encode_multi_labels(dir_labels: np.ndarray) -> np.ndarray:
+    """Bit-packed multi-direction labels -> [..., 8] multi-hot
+    (reference DTOffsetHelper.encode_multi_labels, offset_helper.py:140-151)."""
+    out = np.zeros((*dir_labels.shape, 8), dtype=np.int32)
+    for i in range(8):
+        out[..., i] = ((dir_labels & (1 << i)) != 0).astype(np.int32)
+    return out
+
+
+def vector_to_label(
+    vector_map: np.ndarray, cfg: DTOffsetConfig = DTOffsetConfig()
+) -> np.ndarray:
+    """(dy, dx) offset vectors -> direction class labels
+    (offset_helper.py:490-506): angle from arctan2, then quantize."""
+    angle_map = np.degrees(
+        np.arctan2(vector_map[..., 0], vector_map[..., 1]))
+    _, label_map = align_angle(angle_map, cfg.num_classes, cfg.c4_align_axis)
+    return label_map
+
+
+def multilabel_direction_prediction(
+    dir_logits: np.ndarray,  # [H, W, 8]
+    no_offset_mask: np.ndarray | None = None,
+    topk: int = 8,
+    cfg: DTOffsetConfig = DTOffsetConfig(),
+) -> np.ndarray:
+    """MLDirectionTask._get_multilabel_prediction (tasks.py:176-209):
+    sum the top-k direction vectors weighted by their logits, re-quantize
+    the summed offset to a single direction label; non-boundary pixels
+    (mask pred 0) map to the extra class 8."""
+    h, w, d = dir_logits.shape
+    if topk == d:
+        idx = np.broadcast_to(np.arange(d), (h, w, d))
+        weights = dir_logits
+    else:
+        idx = np.argsort(-dir_logits, axis=-1)[..., :topk]
+        weights = np.take_along_axis(dir_logits, idx, axis=-1)
+    vecs = label_to_vector(idx, cfg)  # [H, W, k, 2]
+    offset = (vecs * weights[..., None]).sum(axis=-2)
+    pred = vector_to_label(offset, DTOffsetConfig(num_classes=8))
+    if no_offset_mask is not None:
+        pred = np.where(no_offset_mask, 8, pred)
+    return pred

@@ -129,3 +129,75 @@ def test_build_evaluator_dispatch():
         "val.flip_average=true"])
     ev2 = build_evaluator(cfg2, TinySeg())
     assert isinstance(ev2, Evaluator)
+
+
+def test_encode_multi_labels_bits():
+    from contrastiveseg_tpu.utils.offset_helper import encode_multi_labels
+
+    packed = np.array([[0b00000101, 0b10000000], [0, 0b11111111]], np.int64)
+    mh = encode_multi_labels(packed)
+    assert mh.shape == (2, 2, 8)
+    assert mh[0, 0].tolist() == [1, 0, 1, 0, 0, 0, 0, 0]
+    assert mh[0, 1].tolist() == [0] * 7 + [1]
+    assert mh[1, 0].sum() == 0 and mh[1, 1].sum() == 8
+
+
+def test_multilabel_direction_prediction_dominant():
+    """A single dominant direction logit wins; masked pixels -> class 8
+    (reference MLDirectionTask._get_multilabel_prediction, tasks.py:176-209)."""
+    from contrastiveseg_tpu.utils.offset_helper import (
+        multilabel_direction_prediction,
+    )
+
+    h = w = 4
+    logits = np.full((h, w, 8), -5.0, np.float32)
+    logits[..., 3] = 10.0  # direction 3 dominates everywhere
+    pred = multilabel_direction_prediction(logits)
+    assert (pred == 3).all()
+    mask = np.zeros((h, w), bool)
+    mask[0] = True
+    pred = multilabel_direction_prediction(logits, no_offset_mask=mask)
+    assert (pred[0] == 8).all() and (pred[1:] == 3).all()
+
+
+def test_ml_direction_evaluator_end_to_end():
+    """MLDirectionEvaluator drives MultiLabelRunningScore (VERDICT r2
+    missing #7): a stub model that predicts direction d wherever the
+    bit-packed GT contains d scores accuracy 1.0; a constant-wrong stub
+    scores 0."""
+    import jax.numpy as jnp
+
+    from contrastiveseg_tpu.engine.evaluator import MLDirectionEvaluator
+
+    H = W = 8
+    rng = np.random.default_rng(0)
+    gt_dir = rng.integers(0, 8, size=(2, H, W)).astype(np.int64)
+    packed = (1 << gt_dir) | (1 << ((gt_dir + 1) % 8))  # two true dirs
+    gt_mask = rng.integers(0, 2, size=(2, H, W)).astype(np.int32)
+
+    onehot = np.eye(8, dtype=np.float32)[gt_dir] * 10.0  # [2,H,W,8]
+
+    class Oracle:
+        def apply(self, variables, images, train=False):
+            mask = jnp.stack(
+                [1.0 - jnp.asarray(gt_mask, jnp.float32),
+                 jnp.asarray(gt_mask, jnp.float32)], axis=-1)
+            return {"mask": mask, "ml_dir": jnp.asarray(onehot)}
+
+    batch = {"image": np.zeros((2, H, W, 3), np.float32),
+             "mask_label": gt_mask, "ml_dir_label": packed}
+    ev = MLDirectionEvaluator(Oracle())
+    scores = ev.run({}, {}, [batch])
+    assert scores["ml_dir_acc_gt"] == 1.0
+    assert scores["ml_dir_acc_mask"] == 1.0
+    assert scores["miou"] == 1.0
+
+    class Wrong(Oracle):
+        def apply(self, variables, images, train=False):
+            out = super().apply(variables, images, train)
+            # predict (gt + 4) % 8: never one of the two true directions
+            wrong = np.eye(8, dtype=np.float32)[(gt_dir + 4) % 8] * 10.0
+            return {"mask": out["mask"], "ml_dir": jnp.asarray(wrong)}
+
+    scores = MLDirectionEvaluator(Wrong()).run({}, {}, [batch])
+    assert scores["ml_dir_acc_gt"] == 0.0

@@ -85,3 +85,60 @@ def test_visualizers():
     em = error_map(pred, lab)
     assert (em[0, 0] == 0).all()  # ignored -> black
     assert (em[1:][pred[1:] == lab[1:]] == [0, 160, 0]).all()
+
+
+def test_plateau_controller_matches_torch():
+    """PlateauController (engine/optim.py) tracks torch ReduceLROnPlateau
+    decision-for-decision on a noisy metric sequence (the reference's
+    plateau hyperparams, optim_scheduler.py:117-125)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from contrastiveseg_tpu.engine.optim import PlateauController
+
+    for mode in ("min", "max"):
+        for thre_mode in ("rel", "abs"):
+            p = torch.nn.Parameter(torch.zeros(1))
+            opt = torch.optim.SGD([p], lr=1.0)
+            sch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+                opt, mode=mode, factor=0.5, patience=2, threshold=1e-2,
+                threshold_mode=thre_mode, cooldown=1, min_lr=0.1)
+            ours = PlateauController(mode=mode, factor=0.5, patience=2,
+                                     threshold=1e-2, threshold_mode=thre_mode,
+                                     cooldown=1, min_scale=0.1)
+            rng = np.random.default_rng(0)
+            metrics = np.abs(rng.standard_normal(40)).tolist()
+            for m in metrics:
+                sch.step(m)
+                scale = ours.step(m)
+                assert abs(opt.param_groups[0]["lr"] - scale) < 1e-12, (
+                    mode, thre_mode, m)
+
+
+def test_plateau_scale_reaches_updates():
+    """set_plateau_scale rewrites the injected hyperparam so the next
+    update is scaled — no recompilation of the step."""
+    import optax
+
+    from contrastiveseg_tpu.engine.optim import (
+        build_optimizer, set_plateau_scale,
+    )
+    from contrastiveseg_tpu.utils.config import Config
+
+    cfg = Config({"lr": {"base_lr": 1.0, "lr_policy": "plateau",
+                         "plateau": {"mode": "max"}},
+                  "optim": {"optim_method": "sgd",
+                            "sgd": {"momentum": 0.0, "weight_decay": 0.0,
+                                    "nesterov": False}},
+                  "solver": {"max_iters": 10}})
+    params = {"w": jnp.ones(3)}
+    tx = build_optimizer(cfg, params)
+    state = tx.init(params)
+    g = {"w": jnp.ones(3)}
+
+    up1, state1 = tx.update(g, state, params)
+    np.testing.assert_allclose(np.asarray(up1["w"]), -1.0)
+
+    state = set_plateau_scale(state, 0.25)
+    up2, _ = tx.update(g, state, params)
+    np.testing.assert_allclose(np.asarray(up2["w"]), -0.25)

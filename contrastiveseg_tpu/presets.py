@@ -194,6 +194,11 @@ _ADE20K_BASE = _merge(_CITYSCAPES_BASE, {
     "train_trans": {"random_crop": {"crop_size": [520, 520]},
                     "random_resize": {"scale_range": [0.5, 2.0]}},
     "loss": {"params": {"ce_weight": None}},
+    # configs/ade20k/H_48_D_4.json solver/lr/optim blocks (non-cityscapes
+    # datasets use weight_decay 1e-4).
+    "lr": {"base_lr": 0.02},
+    "solver": {"max_iters": 150000},
+    "optim": {"sgd": {"weight_decay": 0.0001}},
 })
 
 PRESETS["ade20k_hrnet_w48"] = _merge(_ADE20K_BASE, {
@@ -210,56 +215,74 @@ PRESETS["ade20k_hrnet_w48_contrast"] = _merge(_ADE20K_BASE, _CONTRAST_BLOCK, {
 _COCO_STUFF_BASE = _merge(_ADE20K_BASE, {
     "dataset": "coco_stuff",
     "data": {"num_classes": 171, "data_dir": "/data/coco_stuff"},
+    # configs/coco_stuff/H_48_D_4.json lr/solver.
+    "lr": {"base_lr": 0.001},
+    "solver": {"max_iters": 30000},
 })
 PRESETS["coco_stuff_hrnet_w48_contrast"] = _merge(
     _COCO_STUFF_BASE, _CONTRAST_BLOCK, {
         "network": {"model_name": "hrnet_w48_contrast",
                     "backbone": "hrnet48", "stride": 4, "bf16": False},
         "loss": {"loss_type": "contrast_ce_loss"},
-        "contrast": {"stride": 4},
+        # H_48_D_4.json contrast block: tau=0.07 here (cityscapes uses 0.1).
+        "contrast": {"stride": 4, "temperature": 0.07},
     })
 
 _PCONTEXT_BASE = _merge(_ADE20K_BASE, {
     "dataset": "pascal_context",
     "data": {"num_classes": 59, "data_dir": "/data/pascal_context"},
+    # configs/pascal_context/H_48_D_4.json lr/solver.
+    "lr": {"base_lr": 0.001},
+    "solver": {"max_iters": 30000},
 })
 PRESETS["pascal_context_hrnet_w48_contrast"] = _merge(
     _PCONTEXT_BASE, _CONTRAST_BLOCK, {
         "network": {"model_name": "hrnet_w48_contrast",
                     "backbone": "hrnet48", "stride": 4, "bf16": False},
         "loss": {"loss_type": "contrast_ce_loss"},
-        "contrast": {"stride": 4},
+        "contrast": {"stride": 4, "temperature": 0.07},
     })
 
 # LIP human parsing (CE2P): label + edge targets, hflip swaps L/R parts.
 PRESETS["lip_ce2p_ocrnet"] = _merge(_CITYSCAPES_BASE, {
     "dataset": "lip",
+    # LIP validates with flip-averaged logits and L/R channel swaps
+    # (trainer_contrastive.py:320-346) — label_pairs drives the swap.
     "data": {"num_classes": 20, "label_list": None,
              "reduce_zero_label": False, "data_dir": "/data/lip",
-             "loader": "lip"},
+             "loader": "lip",
+             "label_pairs": [[14, 15], [16, 17], [18, 19]]},
     "train": {"batch_size": 32,
               "data_transformer": {"size_mode": "fix_size",
                                    "input_size": [473, 473],
                                    "align_method": "only_pad"}},
+    # configs/lip/R_101_D_16.json train_trans (hflip-with-swap first, then
+    # resize-to-target + scale jitter [0.5, 1.5] + crop + brightness).
     "train_trans": {
-        "trans_seq": ["random_resize", "random_rotate", "random_crop",
-                      "random_hflip"],
+        "trans_seq": ["random_hflip", "resize", "random_resize",
+                      "random_crop", "random_brightness"],
+        "resize": {"target_size": [473, 473]},
         "random_hflip": {"ratio": 0.5,
                          "swap_pair": [[14, 15], [16, 17], [18, 19]]},
-        "random_rotate": {"ratio": 1.0, "rotate_degree": 30},
-        "random_crop": {"crop_size": [473, 473], "method": "random"},
-        "random_resize": {"ratio": 1.0, "scale_range": [0.75, 1.25],
+        "random_crop": {"ratio": 1.0, "crop_size": [473, 473],
+                        "method": "random", "allow_outside_center": False},
+        "random_resize": {"ratio": 1.0, "method": "random",
+                          "scale_range": [0.5, 1.5],
                           "aspect_range": [0.9, 1.1]},
+        "random_brightness": {"ratio": 1.0, "shift_value": 10},
     },
+    # run_r_101_d_16_ce2p_ocr_train.sh: dilated16 backbone, 100k iters.
+    # The script's LOSS_TYPE=ce2p_auxce_loss is absent from the
+    # reference's own SEG_LOSS_DICT (loss_manager.py:27-42 — bitrot);
+    # fs_auxce_loss is the nearest registered key on both sides.
     "network": {"model_name": "ce2p_ocrnet",
-                "backbone": "resnet101_dilated8", "stride": 8,
+                "backbone": "deepbase_resnet101_dilated16", "stride": 16,
                 "bf16": False,
                 "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
     "loss": {"loss_type": "fs_auxce_loss", "params": {"ce_weight": None}},
-    # LIP validates with flip-averaged logits and L/R channel swaps
-    # (trainer_contrastive.py:320-346).
+    "lr": {"base_lr": 0.007},
+    "solver": {"max_iters": 100000},
     "val": {"flip_average": True},
-    "data": {"label_pairs": [[14, 15], [16, 17], [18, 19]]},
 })
 
 # CamVid (configs/camvid/H_48_D_4.json): 12 classes, 480x360 crops.
@@ -278,6 +301,7 @@ PRESETS["camvid_hrnet_w48_contrast"] = _merge(
                  "params": {"ce_weight": None}},
         "lr": {"base_lr": 0.001},
         "solver": {"max_iters": 30000},
+        "optim": {"sgd": {"weight_decay": 0.0001}},
         "contrast": {"temperature": 0.07, "stride": 4},
     })
 
@@ -286,15 +310,16 @@ PRESETS["mapillary_hrnet_w48"] = _merge(_CITYSCAPES_BASE, {
     "dataset": "mapillary",
     "data": {"num_classes": 65, "label_list": list(range(65)),
              "data_dir": "/data/mapillary"},
-    "train": {"batch_size": 8,
+    # run_h_48_d_4_ocr_b.sh: BATCH_SIZE=16, MAX_ITERS=500000, ocr_b head.
+    "train": {"batch_size": 16,
               "data_transformer": {"input_size": [1024, 1024]}},
     "val": {"data_transformer": {"input_size": [1024, 1024]}},
     "train_trans": {"random_crop": {"crop_size": [1024, 1024]}},
-    "network": {"model_name": "hrnet_w48_ocr", "backbone": "hrnet48",
+    "network": {"model_name": "hrnet_w48_ocr_b", "backbone": "hrnet48",
                 "stride": 4, "bf16": False,
                 "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
     "loss": {"loss_type": "fs_auxce_loss", "params": {"ce_weight": None}},
-    "solver": {"max_iters": 1000000},
+    "solver": {"max_iters": 500000},
 })
 
 # CelebAMask-HQ face parsing (configs/celeba/H_48_D_4.json): 19 classes.
@@ -306,20 +331,28 @@ PRESETS["celeba_hrnet_w48"] = _merge(_CITYSCAPES_BASE, {
               "data_transformer": {"input_size": [512, 512]}},
     "val": {"data_transformer": {"input_size": [512, 512]}},
     "train_trans": {"random_crop": {"crop_size": [512, 512]}},
+    # run_h_48_d_4_train.sh (celeba): LOSS_TYPE=fs_ce_loss.
     "network": {"model_name": "hrnet_w48", "backbone": "hrnet48",
                 "stride": 4, "bf16": False,
                 "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
-    "loss": {"loss_type": "fs_auxce_loss", "params": {"ce_weight": None}},
+    "loss": {"loss_type": "fs_ce_loss", "params": {"ce_weight": None}},
     "lr": {"base_lr": 0.001},
     "solver": {"max_iters": 150000},
+    "optim": {"sgd": {"weight_decay": 0.0001}},
 })
 
-# SegFix offset training (configs/segfix/, H_SEGFIX.json).
+# SegFix offset training (configs/cityscapes/H_SEGFIX.json +
+# run_h_48_d_4_segfix.sh: 512x512 crops, bs 16, lr 0.04, 80k iters).
 PRESETS["cityscapes_segfix_hrnet"] = _merge(_CITYSCAPES_BASE, {
     "data": {"dt_num_classes": 8, "loader": "dt_offset"},
+    "train": {"batch_size": 16,
+              "data_transformer": {"input_size": [512, 512]}},
+    "train_trans": {"random_crop": {"crop_size": [512, 512]}},
     "network": {"model_name": "segfix_hrnet", "backbone": "hrnet48",
                 "stride": 4, "bf16": False},
     "loss": {"loss_type": "segfix_loss", "params": {"ce_weight": None}},
+    "lr": {"base_lr": 0.04},
+    "solver": {"max_iters": 80000},
 })
 
 # CPU-runnable smoke fixture (BASELINE.json config 1 on synthetic data).

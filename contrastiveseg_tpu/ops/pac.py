@@ -20,11 +20,15 @@ from flax import linen as nn
 
 
 def extract_patches(
-    x: jnp.ndarray, kernel_size: int, stride: int = 1, dilation: int = 1
+    x: jnp.ndarray, kernel_size: int, stride: int = 1, dilation: int = 1,
+    padding: Optional[int] = None,
 ) -> jnp.ndarray:
-    """[B, H, W, C] -> [B, H', W', k*k, C] (SAME padding, zeros outside)."""
+    """[B, H, W, C] -> [B, H', W', k*k, C].
+
+    ``padding=None`` -> SAME-style ``d*(k-1)//2``; an int pads that much on
+    every side (0 = VALID, used by the transposed path)."""
     k = kernel_size
-    pad = dilation * (k - 1) // 2
+    pad = dilation * (k - 1) // 2 if padding is None else padding
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     H, W = x.shape[1], x.shape[2]
     oh = (H + 2 * pad - dilation * (k - 1) - 1) // stride + 1
@@ -46,12 +50,18 @@ def packernel2d(
     channel_wise: bool = False,
     normalize_kernel: bool = False,
     smooth_kernel: Optional[jnp.ndarray] = None,  # [ks, ks] center filter
+    kernel_type: str = "gaussian",
+    inv_alpha: Optional[jnp.ndarray] = None,
+    inv_lambda: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Gaussian adaptive kernel (packernel2d, pac.py:361-452).
+    """Adaptive kernel (packernel2d, pac.py:361-452).
 
     Returns [B, H', W', k*k] (or [..., k*k, Cf] if channel_wise).
-    ``smooth_kernel`` optionally replaces the center feature with a local
-    smoothing (smooth_kernel_type='gaussian' path).
+      * ``smooth_kernel`` replaces the center feature with a local
+        smoothing (smooth_kernel_type gaussian/average_*/full_* paths);
+      * ``kernel_type``: 'gaussian' -> exp(-0.5 d2); 'inv_*' ->
+        inv_alpha + (d2 + 1e-4)^(0.5*inv_lambda) (pac.py:426-433); a
+        '_asym' suffix ReLUs the difference before squaring (:420-421).
     """
     patches = extract_patches(guide, kernel_size, stride, dilation)
     if smooth_kernel is None:
@@ -68,10 +78,17 @@ def packernel2d(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=guide.shape[-1],
         )
-    d2 = (patches - center[:, :, :, None, :]) ** 2
+    diff = patches - center[:, :, :, None, :]
+    if "_asym" in kernel_type:
+        diff = jax.nn.relu(diff)
+    d2 = diff ** 2
     if not channel_wise:
         d2 = jnp.sum(d2, axis=-1)  # [B, H', W', K]
-    kernel = jnp.exp(-0.5 * d2)
+    if kernel_type.startswith("inv_"):
+        assert inv_alpha is not None and inv_lambda is not None
+        kernel = inv_alpha + (d2 + 1e-4) ** (0.5 * inv_lambda)
+    else:
+        kernel = jnp.exp(-0.5 * d2)
     if normalize_kernel:
         kernel = kernel / jnp.maximum(
             jnp.sum(kernel, axis=3, keepdims=True), 1e-12)
@@ -121,17 +138,123 @@ def pacpool2d(
     ).astype(x.dtype)
 
 
-class PacConv2d(nn.Module):
+def pacconv_transpose2d(
+    x: jnp.ndarray,  # [B, H, W, Cin]
+    kernel: jnp.ndarray,  # [B, Ho, Wo, k*k] adaptive kernel at OUTPUT res
+    weight: jnp.ndarray,  # [kh, kw, Cin, Cout]
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 2,
+    padding: Optional[int] = None,
+    output_padding: int = 0,
+    dilation: int = 1,
+    shared_filters: bool = False,
+) -> jnp.ndarray:
+    """Transposed PAC conv (pacconv_transpose2d, pac.py:481-500).
+
+    Mirrors the reference's native path: zero-stuff the input by
+    ``stride``, pad by ``(k-1)*d - padding`` (+``output_padding`` on the
+    bottom/right), then run a VALID pacconv at stride 1.  Output size =
+    (H-1)*s - 2*padding + (k-1)*d + output_padding + 1, the torch
+    ConvTranspose2d contract.  ``padding=None`` defaults to the SAME-ish
+    ``d*(k-1)//2``.
+    """
+    B, H, W, C = x.shape
+    k = weight.shape[0]
+    if padding is None:
+        padding = dilation * (k - 1) // 2
+    up = jnp.zeros(
+        (B, (H - 1) * stride + 1, (W - 1) * stride + 1, C), x.dtype
+    ).at[:, ::stride, ::stride].set(x)
+    p = (k - 1) * dilation - padding
+    assert p >= 0, "padding too large for the transposed PAC conv"
+    up = jnp.pad(up, ((0, 0), (p, p + output_padding),
+                      (p, p + output_padding), (0, 0)))
+    kh, kw = weight.shape[0], weight.shape[1]
+    patches = extract_patches(up, kh, 1, dilation, padding=0)
+    mod = patches * kernel[..., None]
+    if shared_filters:
+        out = jnp.einsum(
+            "bhwkc,k->bhwc", mod, weight.reshape(kh * kw),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    else:
+        out = jnp.einsum(
+            "bhwkc,kco->bhwo", mod,
+            weight.reshape(kh * kw, weight.shape[2], weight.shape[3]),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def make_smooth_kernel(smooth_kernel_type: str) -> Optional[jnp.ndarray]:
+    """Fixed smoothing kernels (reference _PacConvNd, pac.py:593-608):
+    'gaussian' = outer([.25,.5,.25]); 'average_k' = uniform k x k;
+    'none' -> None.  ('full_k' is a learned parameter — built by the
+    module classes, not here.)"""
+    if smooth_kernel_type == "none":
+        return None
+    if smooth_kernel_type == "gaussian":
+        s = jnp.asarray([0.25, 0.5, 0.25])
+        return jnp.outer(s, s)
+    if smooth_kernel_type.startswith("average_"):
+        ks = int(smooth_kernel_type.split("_")[-1])
+        return jnp.full((ks, ks), 1.0 / (ks * ks))
+    raise ValueError(f"smooth_kernel_type {smooth_kernel_type!r}")
+
+
+class _PacKernelOpts(nn.Module):
+    """Shared kernel-option handling for the PAC module classes
+    (reference _PacConvNd, pac.py:526-690): kernel_type
+    'gaussian'/'inv_<alpha>_<lambda>[_asym][_fixed]' and
+    smooth_kernel_type 'none'/'gaussian'/'average_k'/'full_k'."""
+
+    kernel_type: str = "gaussian"
+    smooth_kernel_type: str = "none"
+    normalize_kernel: bool = False
+    dtype: Any = jnp.float32
+
+    def _inv_params(self):
+        if not self.kernel_type.startswith("inv_"):
+            return None, None
+        parts = self.kernel_type.split("_")
+        a0, l0 = float(parts[1]), float(parts[2])
+        if "_fixed" in self.kernel_type:
+            return jnp.asarray(a0), jnp.asarray(l0)
+        inv_alpha = self.param("inv_alpha",
+                               lambda k: jnp.asarray(a0, jnp.float32))
+        inv_lambda = self.param("inv_lambda",
+                                lambda k: jnp.asarray(l0, jnp.float32))
+        return inv_alpha, inv_lambda
+
+    def _smooth_kernel(self):
+        if self.smooth_kernel_type.startswith("full_"):
+            ks = int(self.smooth_kernel_type.split("_")[-1])
+            return self.param(
+                "smooth_kernel",
+                lambda k: jnp.full((ks, ks), 1.0 / (ks * ks), jnp.float32))
+        return make_smooth_kernel(self.smooth_kernel_type)
+
+    def _adaptive_kernel(self, guide, k, stride, dilation):
+        inv_alpha, inv_lambda = self._inv_params()
+        return packernel2d(
+            guide, k, stride=stride, dilation=dilation,
+            normalize_kernel=self.normalize_kernel,
+            smooth_kernel=self._smooth_kernel(),
+            kernel_type=self.kernel_type,
+            inv_alpha=inv_alpha, inv_lambda=inv_lambda)
+
+
+class PacConv2d(_PacKernelOpts):
     """Learned PAC layer (pac.py PacConv2d:690-739): guidance features
     drive the adaptive kernel, the weight is an ordinary conv filter."""
 
-    features: int
+    features: int = 0
     kernel_size: int = 3
     stride: int = 1
     dilation: int = 1
-    normalize_kernel: bool = False
     use_bias: bool = True
-    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, guide: jnp.ndarray) -> jnp.ndarray:
@@ -139,13 +262,55 @@ class PacConv2d(nn.Module):
         weight = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (k, k, x.shape[-1], self.features), self.dtype)
-        kernel = packernel2d(
-            guide, k, stride=self.stride, dilation=self.dilation,
-            normalize_kernel=self.normalize_kernel)
+        kernel = self._adaptive_kernel(guide, k, self.stride, self.dilation)
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.features,), self.dtype)
                 if self.use_bias else None)
         return pacconv2d(x, kernel, weight, bias,
+                         stride=self.stride, dilation=self.dilation)
+
+
+class PacConvTranspose2d(_PacKernelOpts):
+    """Transposed PAC layer (pac.py PacConvTranspose2d:740-789) — learned
+    guided upsampling.  ``guide`` lives at the OUTPUT resolution (the
+    reference computes the kernel with transposed=True for the same
+    effect, pac.py:375-377)."""
+
+    features: int = 0
+    kernel_size: int = 3
+    stride: int = 2
+    output_padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, guide: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        weight = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features), self.dtype)
+        kernel = self._adaptive_kernel(guide, k, 1, self.dilation)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), self.dtype)
+                if self.use_bias else None)
+        return pacconv_transpose2d(
+            x, kernel, weight, bias, stride=self.stride,
+            output_padding=self.output_padding, dilation=self.dilation)
+
+
+class PacPool2d(_PacKernelOpts):
+    """Guided pooling (pac.py PacPool2d:791-844): the adaptive kernel IS
+    the pooling weight; no learned filter."""
+
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, guide: jnp.ndarray) -> jnp.ndarray:
+        kernel = self._adaptive_kernel(
+            guide, self.kernel_size, self.stride, self.dilation)
+        return pacpool2d(x, kernel, self.kernel_size,
                          stride=self.stride, dilation=self.dilation)
 
 

@@ -147,6 +147,17 @@ def _install_torchcontrib_shim():
     sys.modules["torchcontrib.optim"] = optim
 
 
+def _install_thnn_shim():
+    """pacnet/pac.py imports torch._thnn (removed in torch>=1.0); only the
+    legacy CUDA Function paths dereference it — the native_impl=True code
+    used as oracle never does."""
+    if "torch._thnn" in sys.modules:
+        return
+    thnn = types.ModuleType("torch._thnn")
+    thnn.type2backend = {}
+    sys.modules["torch._thnn"] = thnn
+
+
 def _patch_pil_cubic():
     """Pillow >= 10 removed Image.CUBIC; pil_aug_transforms.py uses it."""
     try:
@@ -167,6 +178,7 @@ def setup_reference():
     _install_timm_shim()
     _install_yacs_shim()
     _install_torchcontrib_shim()
+    _install_thnn_shim()
     _patch_pil_cubic()
     return REFERENCE_ROOT
 

@@ -23,9 +23,22 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
 
+# BENCHABLE presets (BASELINE.json configs 2/3/4): --preset picks the
+# model family; default stays the flagship HRNet+mem config.
+PRESET_ALIASES = {
+    "mem": "cityscapes_hrnet_w48_mem",
+    "contrast": "cityscapes_hrnet_w48_contrast",
+    "deeplab": "cityscapes_deeplab_v3",
+    "deeplab_contrast": "cityscapes_deeplab_v3_contrast",
+    "hrnet": "cityscapes_hrnet_w48",
+}
+
+
 def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
                 remat: bool = False, remat_stem: bool = False,
-                donate: bool = False, pallas_conv: bool = False):
+                donate: bool = False, pallas_conv: bool = False,
+                lane_pad: bool = False, preset: str | None = None,
+                exact_sampling: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,14 +51,17 @@ def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
     from contrastiveseg_tpu.ops.queue import init_memory_bank
     from contrastiveseg_tpu.presets import get_preset
 
-    preset = (
-        "cityscapes_hrnet_w48_mem" if memory else "cityscapes_hrnet_w48_contrast"
-    )
+    if preset is None:
+        preset = "mem" if memory else "contrast"
+    preset = PRESET_ALIASES.get(preset, preset)
     cfg = get_preset(preset)
+    memory = memory and cfg.get("contrast.with_memory", default=False)
     cfg = cfg.updated("network.bf16", bf16)
     cfg = cfg.updated("network.remat", remat)
     cfg = cfg.updated("network.remat_stem", remat_stem)
     cfg = cfg.updated("network.pallas_conv", pallas_conv)
+    cfg = cfg.updated("network.lane_pad", lane_pad)
+    cfg = cfg.updated("contrast.exact_sampling", exact_sampling)
     cfg = cfg.updated("network.remat_scope",
                       os.environ.get("BENCH_REMAT_SCOPE", "stem_layer1"))
     # (BENCH_REMAT_SCOPE=layer1 measured 26.7 img/s vs 28.1 for the
@@ -87,8 +103,9 @@ def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
         build_loss(cfg),
         warmup_iters=0,
         network_stride=cfg.get("network.stride"),
-        pixel_update_freq=cfg.get("contrast.pixel_update_freq"),
+        pixel_update_freq=cfg.get("contrast.pixel_update_freq", default=10),
         donate=donate,
+        exact_sampling=exact_sampling,
     )
 
     rng_np = np.random.default_rng(0)
@@ -130,11 +147,14 @@ def _peak_tflops(bf16: bool):
 
 def run(batch: int, hw: tuple[int, int], steps: int, bf16: bool,
         memory: bool, remat: bool = False, remat_stem: bool = False,
-        donate: bool = False, pallas_conv: bool = False):
+        donate: bool = False, pallas_conv: bool = False,
+        lane_pad: bool = False, preset: str | None = None,
+        exact_sampling: bool = False):
     import jax
 
     state, step_fn, batch_data = build_bench(batch, hw, bf16, memory, remat,
-                                             remat_stem, donate, pallas_conv)
+                                             remat_stem, donate, pallas_conv,
+                                             lane_pad, preset, exact_sampling)
     # AOT-compile exactly once, so the executable also hands us its cost
     # analysis (utils/flops.xla_flops idea; VERDICT.md weak-1: anchor the
     # bench in MFU, not vs-self).
@@ -200,6 +220,20 @@ def main() -> None:
                     default=False,
                     help="route small-channel 3x3 convs through the "
                          "Pallas kernel (ops/conv_pallas.py)")
+    ap.add_argument("--lane-pad", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="pad sub-64 HRNet branch widths to 64 "
+                         "(models/hrnet.py lane_pad_spec) — TPU layout "
+                         "experiment, VERDICT r2 item 3")
+    ap.add_argument("--exact-sampling", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="exact top_k in sampler+enqueue instead of "
+                         "approx_max_k (layout-deterministic; measure the "
+                         "TPU cost — VERDICT r2 item 2)")
+    ap.add_argument("--preset", default=None,
+                    help="model family to bench: one of "
+                         f"{sorted(PRESET_ALIASES)} or a full preset name "
+                         "(VERDICT r2 weak-4: bench all flagship configs)")
     ap.add_argument("--donate", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="donate state buffers (default: auto — first "
@@ -287,7 +321,8 @@ def main() -> None:
         try:
             perf = run(b, hw, steps, bf16, memory, args.remat,
                        args.remat_stem, bool(args.donate),
-                       args.pallas_conv)
+                       args.pallas_conv, args.lane_pad, args.preset,
+                       args.exact_sampling)
             batch = b
             break
         except Exception as e:  # noqa: BLE001
@@ -309,10 +344,15 @@ def main() -> None:
             json.dump({"images_per_sec_per_chip": ips,
                        "batch": batch, "hw": list(hw)}, f)
 
+    if args.preset is None:
+        # Keep the historical metric name for driver-side continuity.
+        tag = "hrnet_w48_contrast_mem" if memory else "hrnet_w48_contrast"
+    else:
+        tag = PRESET_ALIASES.get(args.preset, args.preset).replace(
+            "cityscapes_", "")
     print(json.dumps({
         "metric": (
-            "cityscapes_512x1024_train_images_per_sec_per_chip_"
-            "hrnet_w48_contrast_mem"
+            f"cityscapes_512x1024_train_images_per_sec_per_chip_{tag}"
         ),
         "value": round(ips, 3),
         "unit": "images/sec/chip",

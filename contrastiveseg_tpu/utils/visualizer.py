@@ -86,3 +86,93 @@ def plot_loss_curve(log_file: str, out_png: str) -> int:
         img[y, min(i, w - 1)] = [200, 30, 30]
     Image.fromarray(img).resize((max(w, 512), h)).save(out_png)
     return len(losses)
+
+
+def _to_heat(a: np.ndarray) -> np.ndarray:
+    """Normalize one map to a 'Blues'-style heat image (uint8 RGB)."""
+    a = a.astype(np.float64)
+    a = a - a.min()
+    a = a / max(a.max(), 1e-12)
+    # white -> blue ramp (matplotlib Blues approximation).
+    r = (1 - a) * 247 + a * 8
+    g = (1 - a) * 251 + a * 48
+    b = (1 - a) * 255 + a * 107
+    return np.stack([r, g, b], -1).astype(np.uint8)
+
+
+def save_attention_grid(
+    out_png: str,
+    attn: np.ndarray,  # [K, H, W] or [K, H*W] attention/region maps
+    shape: Optional[tuple[int, int]] = None,
+    image: Optional[np.ndarray] = None,
+    label: Optional[np.ndarray] = None,
+    dataset: str = "cityscapes",
+    num_classes: int = 19,
+    cols: int = 8,
+    max_maps: int = 32,
+    cell: int = 128,
+) -> str:
+    """Tiled attention-map figure (reference Vis_A2_Atten /
+    visualize_map, lib/vis/attention_visualizer.py:98-199): optional
+    image + colorized-label panels on the first row, then up to
+    ``max_maps`` per-region heat maps in a ``cols``-wide grid.  Pure
+    PIL/numpy — no matplotlib, no hard-coded output dirs, no pdb."""
+    attn = np.asarray(attn)
+    if attn.ndim == 2 and shape is not None:
+        attn = attn.reshape(attn.shape[0], *shape)
+    assert attn.ndim == 3, "attn must be [K, H, W] (or [K, HW] + shape)"
+    k = min(attn.shape[0], max_maps)
+
+    def fit(img):
+        return np.asarray(
+            Image.fromarray(img).resize((cell, cell), Image.BILINEAR))
+
+    panels = []
+    if image is not None:
+        panels.append(fit(image.astype(np.uint8)))
+    if label is not None:
+        palette = get_palette(dataset, num_classes)
+        panels.append(fit(colorize(label.astype(np.int32), palette)))
+    maps = [fit(_to_heat(attn[i])) for i in range(k)]
+
+    header_rows = 1 if panels else 0
+    rows = header_rows + (k + cols - 1) // cols
+    canvas = np.full((rows * cell, cols * cell, 3), 255, np.uint8)
+    for i, p in enumerate(panels[:cols]):
+        canvas[0:cell, i * cell:(i + 1) * cell] = p
+    for i, m in enumerate(maps):
+        r = header_rows + i // cols
+        c = i % cols
+        canvas[r * cell:(r + 1) * cell, c * cell:(c + 1) * cell] = m
+    os.makedirs(os.path.dirname(out_png) or ".", exist_ok=True)
+    Image.fromarray(canvas).save(out_png)
+    return out_png
+
+
+def pixel_attention_map(
+    sim: np.ndarray,  # [H*W, K] or [H, W, K] pixel->object similarities
+    pixel_yx: tuple[int, int],
+    shape: tuple[int, int],
+    object_maps: Optional[np.ndarray] = None,  # [K, H, W] region supports
+) -> np.ndarray:
+    """Where does one pixel attend?  For OCR-style pixel->object attention
+    the per-pixel weights are over K object regions; projected back
+    through the region supports this yields a spatial map (the
+    Vis_FastOC_Atten use case).  Returns a [H, W] float map."""
+    h, w = shape
+    sim = np.asarray(sim).reshape(h * w, -1)
+    weights = sim[pixel_yx[0] * w + pixel_yx[1]]  # [K]
+    if object_maps is None:
+        k = weights.shape[0]
+        side = int(np.ceil(np.sqrt(k)))
+        grid = np.zeros(side * side, np.float64)
+        grid[:k] = weights
+        return grid.reshape(side, side)
+    om = np.asarray(object_maps).reshape(weights.shape[0], h * w)
+    return (weights[:, None] * om).sum(0).reshape(h, w)
+
+
+def attention_histogram(attn: np.ndarray, bins: int = 50):
+    """Weight-distribution histogram data (the reference's choice=1 path
+    plots this; returning (counts, edges) keeps it dependency-free)."""
+    return np.histogram(np.asarray(attn).ravel(), bins=bins)

@@ -46,13 +46,24 @@ class HRNetSeg(nn.Module):
     drop_stage4: bool = False
     keep_imagenet_head: bool = False
     pallas_conv: bool = False
+    # Pad sub-64 branch widths to 64 (models/hrnet.py lane_pad_spec) — a
+    # TPU-layout variant, measured via bench.py --lane-pad.
+    lane_pad: bool = False
+    # Dropout2d(0.10) in the reference cls_head (nets/hrnet.py:76); the
+    # trajectory-parity test zeroes it on both sides for determinism.
+    head_dropout: float = 0.10
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> dict[str, jnp.ndarray]:
+        from contrastiveseg_tpu.models.hrnet import lane_pad_spec
+
         in_h, in_w = x.shape[1], x.shape[2]
         if self.arch in HRNET_SPECS:
-            feats = HRNet(HRNET_SPECS[self.arch], dtype=self.dtype,
+            spec = HRNET_SPECS[self.arch]
+            if self.lane_pad:
+                spec = lane_pad_spec(spec)
+            feats = HRNet(spec, dtype=self.dtype,
                           remat=self.remat, remat_stem=self.remat_stem,
                           remat_scope=self.remat_scope,
                           full_res_stem=self.full_res_stem,
@@ -75,7 +86,7 @@ class HRNetSeg(nn.Module):
         )
         out: dict[str, jnp.ndarray] = {}
         seg = ClsHead(self.num_classes, cat.shape[-1], dtype=self.dtype,
-                      name="cls_head")(cat, train)
+                      dropout=self.head_dropout, name="cls_head")(cat, train)
         if self.with_proj:
             out["embed"] = ProjectionHead(self.proj_dim, dtype=self.dtype,
                                           name="proj_head")(cat, train)
@@ -258,6 +269,8 @@ def _hrnet_variant(arch: str, **defaults):
             keep_imagenet_head=cfg.get(
                 "network.keep_imagenet_head", default=False),
             pallas_conv=cfg.get("network.pallas_conv", default=False),
+            lane_pad=cfg.get("network.lane_pad", default=False),
+            head_dropout=cfg.get("network.head_dropout", default=0.10),
             dtype=dtype,
             **defaults,
         )
@@ -557,10 +570,14 @@ class IdealSpatialOCRNet(nn.Module):
         return {"seg": seg, "seg_aux": aux}
 
 
-class MscaleOCR(nn.Module):
-    """Hierarchical multi-scale attention OCR (reference nets/ms_ocrnet.py:9-257):
-    run the OCR trunk at 0.5x and 1.0x, predict a per-pixel attention map at
-    the low scale, fuse ``attn * up(lo) + (1 - attn) * hi``."""
+class _MsOCRTrunk(nn.Module):
+    """MscaleOCR's OCR block + attention head (reference OCR_block +
+    make_attn_head, ms_ocrnet.py:9-75): conv3x3 720->256, SpatialGather,
+    SpatialOCR(key 128, out 256), cls 256->C, aux 720->256->C, and the
+    scale-attention head conv3x3(256)+BNReLU x2 -> conv1x1(1, no bias) ->
+    sigmoid over the OCR mid features.  All outputs upsampled to the
+    trunk's input size with half-pixel bilinear (the reference's Upsample
+    uses align_corners=False, ms_ocrnet.py:77-82)."""
 
     num_classes: int
     arch: str = "hrnet48"
@@ -568,38 +585,87 @@ class MscaleOCR(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> dict[str, jnp.ndarray]:
+        from contrastiveseg_tpu.models.ocr import SpatialGather, SpatialOCR
+        from contrastiveseg_tpu.ops.resize import resize_bilinear_half_pixel
+
         in_h, in_w = x.shape[1], x.shape[2]
-        x_lo = resize_bilinear_align_corners(x, (in_h // 2, in_w // 2))
+        feats = HRNet(HRNET_SPECS[self.arch], dtype=self.dtype,
+                      name="backbone")(x.astype(self.dtype), train)
+        h, w = feats[0].shape[1], feats[0].shape[2]
+        cat = jnp.concatenate(
+            [feats[0]]
+            + [resize_bilinear_align_corners(f, (h, w), fast=True)
+               for f in feats[1:]],
+            axis=-1,
+        )
+        f = ConvBN(256, 3, use_relu=True, dtype=self.dtype,
+                   name="conv3x3_ocr")(cat, train)
+        aux = ConvBN(256, 3, use_relu=True, dtype=self.dtype,
+                     name="aux_conv")(cat, train)
+        aux = nn.Conv(self.num_classes, (1, 1), use_bias=True,
+                      dtype=jnp.float32, name="aux_cls")(
+            aux.astype(jnp.float32))
+        context = SpatialGather(name="ocr_gather")(f, aux)
+        ocr_feats = SpatialOCR(key_channels=128, out_channels=256,
+                               dropout=0.05, dtype=self.dtype,
+                               name="ocr_distri")(f, context, train)
+        cls = nn.Conv(self.num_classes, (1, 1), use_bias=True,
+                      dtype=jnp.float32, name="cls")(
+            ocr_feats.astype(jnp.float32))
+        a = ConvBN(256, 3, use_relu=True, dtype=self.dtype,
+                   name="attn0")(ocr_feats, train)
+        a = ConvBN(256, 3, use_relu=True, dtype=self.dtype,
+                   name="attn1")(a, train)
+        a = nn.Conv(1, (1, 1), use_bias=False, dtype=jnp.float32,
+                    name="attn2")(a.astype(jnp.float32))
+        attn = jax.nn.sigmoid(a)
+        return {
+            "cls_out": resize_bilinear_half_pixel(cls, (in_h, in_w)),
+            "aux_out": resize_bilinear_half_pixel(aux, (in_h, in_w)),
+            "logit_attn": resize_bilinear_half_pixel(attn, (in_h, in_w)),
+        }
+
+
+class MscaleOCR(nn.Module):
+    """Hierarchical multi-scale attention OCR (reference ms_ocrnet.py
+    two_scale_forward, :205-252): run the trunk at 0.5x and 1.0x; the
+    LOW scale predicts the attention; fuse
+    ``up(attn * p_lo) + (1 - up(attn)) * p_1x`` (aux likewise) with
+    half-pixel bilinear up/downsampling throughout."""
+
+    num_classes: int
+    arch: str = "hrnet48"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> dict[str, jnp.ndarray]:
+        from contrastiveseg_tpu.ops.resize import resize_bilinear_half_pixel
+
+        in_h, in_w = x.shape[1], x.shape[2]
+        x_lo = resize_bilinear_half_pixel(x, (in_h // 2, in_w // 2))
         # Shared trunk weights across scales: call the same submodule twice.
-        trunk = HRNetOCRSeg(
-            num_classes=self.num_classes, arch=self.arch,
-            upsample_out=False, dtype=self.dtype, name="ocr",
-        )
-        attn_head = nn.Sequential(
-            [nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="attn1"),
-             nn.relu,
-             nn.Conv(1, (1, 1), dtype=jnp.float32, name="attn2"),
-             jax.nn.sigmoid],
-        )
-        out_lo = trunk(x_lo, train)
-        attn = attn_head(out_lo["seg"].astype(self.dtype))
-        out_hi = trunk(x, train)
+        trunk = _MsOCRTrunk(num_classes=self.num_classes, arch=self.arch,
+                            dtype=self.dtype, name="ocr")
+        lo = trunk(x_lo, train)
+        hi = trunk(x, train)
 
-        pred_lo = resize_bilinear_align_corners(out_lo["seg"], (in_h, in_w))
-        aux_lo = resize_bilinear_align_corners(out_lo["seg_aux"], (in_h, in_w))
-        attn_up = resize_bilinear_align_corners(attn, (in_h, in_w))
-        pred_hi = resize_bilinear_align_corners(out_hi["seg"], (in_h, in_w))
-        aux_hi = resize_bilinear_align_corners(out_hi["seg_aux"], (in_h, in_w))
+        pred_05x, aux_lo, attn = lo["cls_out"], lo["aux_out"], lo["logit_attn"]
+        pred_10x, aux_1x = hi["cls_out"], hi["aux_out"]
 
-        pred = attn_up * pred_lo + (1.0 - attn_up) * pred_hi
-        aux = attn_up * aux_lo + (1.0 - attn_up) * aux_hi
+        p_lo = resize_bilinear_half_pixel(attn * pred_05x, (in_h, in_w))
+        a_lo = resize_bilinear_half_pixel(attn * aux_lo, (in_h, in_w))
+        attn_up = resize_bilinear_half_pixel(attn, (in_h, in_w))
+
+        pred = p_lo + (1.0 - attn_up) * pred_10x
+        aux = a_lo + (1.0 - attn_up) * aux_1x
         return {
             "seg": pred,
             "pred": pred,
             "aux": aux,
             "seg_aux": aux,
-            "pred_05x": pred_lo,
-            "pred_10x": pred_hi,
+            "pred_05x": pred_05x,
+            "pred_10x": pred_10x,
+            "attn_05x": attn,
         }
 
 

@@ -150,3 +150,15 @@ def scale_target_nearest(labels: jnp.ndarray, size: tuple[int, int]) -> jnp.ndar
 def subsample_stride(labels: jnp.ndarray, stride: int) -> jnp.ndarray:
     """``labels[:, ::stride, ::stride]`` (reference trainer_contrastive.py:108)."""
     return labels[:, ::stride, ::stride]
+
+
+def resize_bilinear_half_pixel(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with half-pixel centers == torch
+    ``align_corners=False`` (the MscaleOCR fusion path uses this,
+    ms_ocrnet.py Upsample/interpolate calls)."""
+    import jax.image
+
+    B, _, _, C = x.shape
+    return jax.image.resize(
+        x, (B, size[0], size[1], C), method="linear", antialias=False
+    ).astype(x.dtype)

@@ -170,12 +170,12 @@ def _bnact(base_bn: str, sub: tuple[str, ...]) -> Optional[TorchKey]:
     return None
 
 
-def _ocr_distri(sub: tuple[str, ...]) -> Optional[TorchKey]:
+def _ocr_distri(sub: tuple[str, ...],
+                base: str = "ocr_distri_head") -> Optional[TorchKey]:
     """SpatialOCR (models/ocr.py) -> SpatialOCR_Module
     (lib/models/modules/spatial_ocr_block.py:216-310): the
     ObjectAttentionBlock2D double-conv stacks are torch Sequentials
     [conv, BNReLU, conv, BNReLU] and f_down/f_up are [conv, BNReLU]."""
-    base = "ocr_distri_head"
     if sub[0] == "project":
         return _convbn(f"{base}.conv_bn_dropout.0",
                        f"{base}.conv_bn_dropout.1.0", sub[1:])
@@ -283,17 +283,53 @@ def deeplab_path(path: tuple[str, ...]) -> Optional[TorchKey]:
     return None
 
 
+def ms_ocr_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """MscaleOCR (models/nets.py _MsOCRTrunk) -> reference MscaleOCR
+    (ms_ocrnet.py:9-108): backbone + OCR_block (conv3x3_ocr / aux_head /
+    ocr_distri_head / cls_head) + make_attn_head's OrderedDict names."""
+    if path[0] != "ocr":
+        return None
+    sub = path[1:]
+    if sub[0] == "backbone":
+        tk = hrnet_backbone_path(sub[1:])
+        if tk is not None:
+            tk.key = f"backbone.{tk.key}"
+            if tk.fold_bias_key:
+                tk.fold_bias_key = f"backbone.{tk.fold_bias_key}"
+        return tk
+    if sub[0] == "conv3x3_ocr":
+        return _convbn("ocr.conv3x3_ocr.0", "ocr.conv3x3_ocr.1.0", sub[1:])
+    if sub[0] == "aux_conv":
+        return _convbn("ocr.aux_head.0", "ocr.aux_head.1.0", sub[1:])
+    if sub[0] == "aux_cls":
+        return _plain_conv("ocr.aux_head.2", sub[1:])
+    if sub[0] == "ocr_distri":
+        return _ocr_distri(sub[1:], base="ocr.ocr_distri_head")
+    if sub[0] == "cls":
+        return _plain_conv("ocr.cls_head", sub[1:])
+    m = re.fullmatch(r"attn(\d)", sub[0])
+    if m:
+        i = int(m.group(1))
+        if i == 2:
+            return _plain_conv("scale_attn.conv2", sub[1:])
+        return _convbn(f"scale_attn.conv{i}", f"scale_attn.bn{i}", sub[1:])
+    return None
+
+
 PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "hrnet_seg": hrnet_seg_path,
     "hrnet_backbone": hrnet_backbone_path,
     "resnet_backbone": resnet_backbone_path,
     "deeplab": deeplab_path,
     "hrnet_ocr": hrnet_ocr_path,
+    "ms_ocr": ms_ocr_path,
 }
 
 
 def mapper_for_model(model_name: str) -> str:
     """Registry model name -> PATH_MAPPERS key (tools/import_torch_ckpt.py)."""
+    if model_name == "ms_ocr":
+        return "ms_ocr"
     if "ocr" in model_name and model_name.startswith("hrnet"):
         return "hrnet_ocr"
     if model_name.startswith("deeplab"):

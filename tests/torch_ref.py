@@ -237,8 +237,13 @@ def build_hrnet_contrast(num_classes=19, proj_dim=256, seed=0):
 
 
 def state_dict_numpy(net) -> dict:
-    """state_dict as {key: np.float32 array}."""
-    return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+    """state_dict as {key: np.float32 array}.
+
+    ``.copy()`` matters: ``.numpy()`` on a CPU tensor shares storage with
+    the live parameter, so without it the snapshot silently tracks any
+    later ``optimizer.step()`` (burned the trajectory-parity fixture)."""
+    return {k: v.detach().cpu().numpy().copy()
+            for k, v in net.state_dict().items()}
 
 
 def build_hrnet_ocr_contrast(num_classes=19, proj_dim=256, seed=0):
@@ -252,6 +257,20 @@ def build_hrnet_ocr_contrast(num_classes=19, proj_dim=256, seed=0):
     from lib.models.nets.hrnet import HRNet_W48_OCR_CONTRAST
 
     net = HRNet_W48_OCR_CONTRAST(c)
+    net.eval()
+    return net
+
+
+def build_ms_ocr(num_classes=19, seed=0):
+    """Reference MscaleOCR (lib/models/nets/ms_ocrnet.py:95-257)."""
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    c = build_configer({"data": {"num_classes": num_classes}})
+    from lib.models.nets.ms_ocrnet import MscaleOCR
+
+    net = MscaleOCR(c)
     net.eval()
     return net
 

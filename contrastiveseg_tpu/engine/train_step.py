@@ -29,14 +29,20 @@ def make_train_step(
     pixel_update_freq: int = 10,
     queue_include_class0: bool = True,
     donate: bool = True,
+    exact_sampling: bool = False,
+    freeze_bn: bool = False,
 ):
     """Build the jitted train step.
 
     loss_fn signature: (key, outputs, targets, with_embed, bank) ->
     (loss, metrics).  `warmup_iters` gates the contrast term exactly like
     the reference (`with_embed = iters >= warmup_iters`,
-    trainer_contrastive.py:209).
+    trainer_contrastive.py:209).  ``freeze_bn`` reproduces
+    ModuleRunner.freeze_bn (module_runner.py:228-236): BN layers normalize
+    with frozen running averages and stop updating stats (dropout and all
+    parameter gradients stay live), for the --finetune flow.
     """
+    train_flag = "freeze_bn" if freeze_bn else True
 
     def train_step(state: TrainState, batch: dict):
         rng, r_drop, r_sample, r_queue = jax.random.split(state.rng, 4)
@@ -50,7 +56,7 @@ def make_train_step(
             out, mut = model.apply(
                 variables,
                 images,
-                train=True,
+                train=train_flag,
                 mutable=["batch_stats"],
                 rngs={"dropout": r_drop},
             )
@@ -79,6 +85,7 @@ def make_train_step(
                 lab_s.reshape(B, -1),
                 pixel_update_freq=pixel_update_freq,
                 include_class0=queue_include_class0,
+                exact_sampling=exact_sampling,
             )
 
         new_state = state.apply_gradients(

@@ -31,6 +31,7 @@ def _contrast_spec(cfg) -> ContrastSpec:
         temperature=cfg.get("contrast.temperature", default=0.1),
         base_temperature=cfg.get("contrast.base_temperature", default=0.07),
         ignore_label=_common(cfg)["ignore_index"],
+        exact_sampling=cfg.get("contrast.exact_sampling", default=False),
     )
 
 

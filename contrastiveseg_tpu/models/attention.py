@@ -281,11 +281,11 @@ class HANetConv(nn.Module):
         mid1 = -(-self.channels // self.r_factor)  # ceil
         y = nn.Conv(mid1, (1,), use_bias=False, dtype=self.dtype,
                     name="att1")(pooled)
-        y = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = nn.relu(nn.BatchNorm(use_running_average=train is not True, momentum=0.9,
                                  dtype=self.dtype, name="bn1")(y))
         y = nn.Conv(2 * mid1, (3,), padding=1, dtype=self.dtype,
                     name="att2")(y)
-        y = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        y = nn.relu(nn.BatchNorm(use_running_average=train is not True, momentum=0.9,
                                  dtype=self.dtype, name="bn2")(y))
         y = nn.Conv(self.channels, (3,), padding=1, dtype=self.dtype,
                     name="att3")(y)

@@ -67,6 +67,33 @@ HRNET_SPECS: dict[str, HRNetSpec] = {
 }
 
 
+def lane_pad_spec(spec: HRNetSpec, multiple: int = 64) -> HRNetSpec:
+    """Round sub-``multiple`` branch widths up to ``multiple``.
+
+    TPU vector lanes are 128 wide and the MXU tiles matmuls in 128-lane
+    chunks; the W48 finest branch (C=48) runs its 3x3 convs at 35-46 TF/s
+    in-graph with ~24 ms/step of pure layout conversion around them
+    (profiled, round 2), while the same conv at padded width maps cleanly.
+    Padding 48 -> 64 raises branch-0 conv FLOPs by (64/48)^2 = 1.78x but
+    targets the >2x rate headroom the isolated Pallas datapoint proved
+    (ops/conv_pallas.py).  Widths already >= ``multiple`` (96/192/384) are
+    left alone.  This is a different (slightly wider) net, gated by
+    ``network.lane_pad`` — not a drop-in for reference checkpoints.
+    """
+
+    def pad(stage: StageSpec) -> StageSpec:
+        return StageSpec(
+            stage.num_modules,
+            stage.num_blocks,
+            tuple(max(c, multiple) for c in stage.num_channels),
+        )
+
+    return dataclasses.replace(
+        spec, stage2=pad(spec.stage2), stage3=pad(spec.stage3),
+        stage4=pad(spec.stage4),
+    )
+
+
 class HighResolutionModule(nn.Module):
     """Parallel branches of Basic/Bottleneck blocks + full fusion.
 

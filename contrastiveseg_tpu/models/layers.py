@@ -21,14 +21,21 @@ BN_EPS = 1e-5
 
 
 class TorchBatchNorm(nn.Module):
-    """BatchNorm with torch defaults; `train` toggles running-average use."""
+    """BatchNorm with torch defaults; `train` toggles running-average use.
+
+    ``train`` may be the sentinel string ``"freeze_bn"``: dropout sites
+    stay live (truthy) but BN normalizes with its frozen running averages
+    and writes no stat updates — the ModuleRunner.freeze_bn finetune
+    semantics (/root/reference/segmentor/tools/module_runner.py:228-236,
+    used by the --finetune flow, main_contrastive.py:204).
+    """
 
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train) -> jnp.ndarray:
         return nn.BatchNorm(
-            use_running_average=not train,
+            use_running_average=train is not True,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
             dtype=self.dtype,

@@ -54,7 +54,7 @@ class SwitchableNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((1, 1, 1, c))
         )
-        if train:
+        if train is True:  # "freeze_bn" sentinel uses running stats
             mean_bn = jnp.mean(xf, axis=(0, 1, 2), keepdims=True)
             var_bn = jnp.var(xf, axis=(0, 1, 2), keepdims=True)
             if not self.is_initializing():

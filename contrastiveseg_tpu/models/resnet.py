@@ -210,7 +210,7 @@ class SplitAttentionConv(nn.Module):
         gap = jnp.mean(jnp.sum(splits, axis=3), axis=(1, 2))  # [B, f]
         inter = max(f * r // 4, 32)
         a = nn.Dense(inter, dtype=self.dtype, name="fc1")(gap)
-        a = nn.relu(nn.BatchNorm(use_running_average=not train,
+        a = nn.relu(nn.BatchNorm(use_running_average=train is not True,
                                  momentum=0.9, dtype=self.dtype,
                                  name="fc_bn")(a))
         a = nn.Dense(f * r, dtype=self.dtype, name="fc2")(a)

@@ -47,6 +47,13 @@ class ContrastSpec(NamedTuple):
     temperature: float = 0.1
     base_temperature: float = 0.07
     ignore_label: int = -1
+    # exact top_k instead of approx_max_k for anchor sampling.  approx_max_k
+    # tiles its partial reduction over the physical layout, so its recall
+    # set can change when the batch axis is sharded differently — fine for
+    # training (any recalled subset of iid-uniform scores is still uniform)
+    # but it breaks mesh-vs-solo equivalence checks.  `contrast.
+    # exact_sampling` turns on the layout-deterministic sort-based path.
+    exact_sampling: bool = False
 
 
 class AnchorSet(NamedTuple):
@@ -94,8 +101,9 @@ def hard_anchor_sample(
     khard, keasy = jax.random.split(key)
     sh = jnp.where(hard_mask, jax.random.uniform(khard, (B, C, N)), _NEG_INF)
     se = jnp.where(easy_mask, jax.random.uniform(keasy, (B, C, N)), _NEG_INF)
-    _, hard_idx = jax.lax.approx_max_k(sh, V)  # [B, C, V] pixel indices
-    _, easy_idx = jax.lax.approx_max_k(se, V)
+    top_k = jax.lax.top_k if spec.exact_sampling else jax.lax.approx_max_k
+    _, hard_idx = top_k(sh, V)  # [B, C, V] pixel indices
+    _, easy_idx = top_k(se, V)
 
     def _revalidate(idx, mask):
         sel_ok = jnp.take_along_axis(mask, idx, axis=-1)

@@ -70,6 +70,7 @@ def enqueue(
     labels: jnp.ndarray,  # [B, N] int32 labels at queue stride
     pixel_update_freq: int = 10,
     include_class0: bool = True,
+    exact_sampling: bool = False,
 ) -> MemoryBank:
     """Enqueue the whole batch in one shot.
 
@@ -116,7 +117,9 @@ def enqueue(
     # entries when a class has few, clustered pixels.  Validate against the
     # membership mask and compact valid-first so the ring write range stays
     # contiguous.
-    _, top_idx = jax.lax.approx_max_k(scores, K)  # [B, C, K]
+    # exact_sampling: layout-deterministic top_k (see ContrastSpec note).
+    _top_k = jax.lax.top_k if exact_sampling else jax.lax.approx_max_k
+    _, top_idx = _top_k(scores, K)  # [B, C, K]
     sel_ok = jnp.take_along_axis(member, top_idx, axis=2)  # [B, C, K]
     order = jnp.argsort(~sel_ok, axis=-1, stable=True)
     top_idx = jnp.take_along_axis(top_idx, order, axis=-1)

@@ -73,3 +73,35 @@ def test_checkpoint_roundtrip(tmp_path, trainer):
     a = jax.device_get(trainer.state.params["backbone"]["stem1"]["conv"]["kernel"])
     b = jax.device_get(restored.params["backbone"]["stem1"]["conv"]["kernel"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_freeze_bn_stops_stat_updates(tmp_path):
+    """network.freeze_bn (ModuleRunner.freeze_bn, module_runner.py:228-236):
+    BN running stats stay bit-identical across train steps while params
+    still learn (the --finetune flow, main_contrastive.py:204)."""
+    import jax
+
+    from contrastiveseg_tpu.engine.trainer import Trainer
+
+    cfg = get_preset("smoke_hrnet_w18")
+    cfg = cfg.updated("network.freeze_bn", True)
+    cfg = cfg.updated("data.synthetic_size", [32, 64])
+    cfg = cfg.updated("train.data_transformer.input_size", [64, 32])
+    cfg = cfg.updated("train_trans.random_crop.crop_size", [64, 32])
+    cfg = cfg.updated("checkpoints.checkpoints_dir", str(tmp_path))
+    t = Trainer(cfg, use_mesh=False)
+
+    bs0 = jax.device_get(t.state.batch_stats)
+    p0 = jax.device_get(
+        t.state.params["backbone"]["stem1"]["conv"]["kernel"])
+    t.train(max_iters=2)
+    bs1 = jax.device_get(t.state.batch_stats)
+    p1 = jax.device_get(
+        t.state.params["backbone"]["stem1"]["conv"]["kernel"])
+
+    assert not np.allclose(p0, p1), "params did not update under freeze_bn"
+    flat0 = jax.tree_util.tree_leaves(bs0)
+    flat1 = jax.tree_util.tree_leaves(bs1)
+    assert len(flat0) == len(flat1) and len(flat0) > 0
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

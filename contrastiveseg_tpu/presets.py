@@ -355,6 +355,125 @@ PRESETS["cityscapes_segfix_hrnet"] = _merge(_CITYSCAPES_BASE, {
     "solver": {"max_iters": 80000},
 })
 
+# --- script-zoo widening (VERDICT r2 §2.1 partial row): one preset per
+# reference run script, fields verified in tests/test_presets_vs_reference.
+
+PRESETS["cityscapes_hrnet_w48_ocr"] = _merge(_CITYSCAPES_BASE, {
+    # run_h_48_d_4_ocr.sh: bs 8, lr 0.01, 40k.
+    "network": {"model_name": "hrnet_w48_ocr", "backbone": "hrnet48",
+                "stride": 4, "bf16": False,
+                "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+    "loss": {"loss_type": "fs_auxce_loss"},
+})
+
+PRESETS["cityscapes_hrnet_w48_ocr_contrast"] = _merge(
+    _CITYSCAPES_BASE, _CONTRAST_BLOCK, {
+        # run_h_48_d_4_ocr_contrast.sh.
+        "network": {"model_name": "hrnet_w48_ocr_contrast",
+                    "backbone": "hrnet48", "stride": 4, "bf16": False,
+                    "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+        "loss": {"loss_type": "contrast_auxce_loss"},
+        "contrast": {"stride": 4},
+    })
+
+PRESETS["cityscapes_hrnet_w48_ocr_b"] = _merge(_CITYSCAPES_BASE, {
+    # run_h_48_d_4_ocr_b.sh: 80k iters; bs 16 from H_48_D_4.json (the
+    # script sets no BATCH_SIZE override).
+    "train": {"batch_size": 16},
+    "network": {"model_name": "hrnet_w48_ocr_b", "backbone": "hrnet48",
+                "stride": 4, "bf16": False,
+                "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+    "loss": {"loss_type": "fs_auxce_loss"},
+    "solver": {"max_iters": 80000},
+})
+
+PRESETS["cityscapes_hrnet_w48_ocr_ohem"] = _merge(_CITYSCAPES_BASE, {
+    # run_h_48_d_4_ocr_ohem.sh: OHEM on the seg head, 80k iters.
+    "network": {"model_name": "hrnet_w48_ocr", "backbone": "hrnet48",
+                "stride": 4, "bf16": False,
+                "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+    "loss": {"loss_type": "fs_auxohemce_loss"},
+    "solver": {"max_iters": 80000},
+})
+
+
+def _r101_cityscapes(model_name):
+    # cityscapes R_101_D_8.json + the ocnet/isa run scripts: bs 16 (JSON,
+    # scripts set no override), lr 0.01, 40k.
+    return _merge(_CITYSCAPES_BASE, {
+        "train": {"batch_size": 16},
+        "network": {"model_name": model_name,
+                    "backbone": "deepbase_resnet101_dilated8",
+                    "multi_grid": [1, 1, 1], "stride": 8, "bf16": False,
+                    "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+        "loss": {"loss_type": "fs_auxce_loss"},
+    })
+
+
+PRESETS["cityscapes_base_ocnet"] = _r101_cityscapes("base_ocnet")
+PRESETS["cityscapes_asp_ocnet"] = _r101_cityscapes("asp_ocnet")
+PRESETS["cityscapes_isanet"] = _r101_cityscapes("isanet")
+
+PRESETS["coco_stuff_hrnet_w48"] = _merge(_COCO_STUFF_BASE, {
+    # run_h_48_d_4_train.sh (coco_stuff): fs_ce, 60k.
+    "network": {"model_name": "hrnet_w48", "backbone": "hrnet48",
+                "stride": 4, "bf16": False},
+    "loss": {"loss_type": "fs_ce_loss"},
+    "solver": {"max_iters": 60000},
+})
+
+PRESETS["coco_stuff_hrnet_w48_ocr"] = _merge(_COCO_STUFF_BASE, {
+    "network": {"model_name": "hrnet_w48_ocr", "backbone": "hrnet48",
+                "stride": 4, "bf16": False,
+                "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+    "loss": {"loss_type": "fs_auxce_loss"},
+    "solver": {"max_iters": 60000},
+})
+
+PRESETS["coco_stuff_spatial_ocrnet"] = _merge(_COCO_STUFF_BASE, {
+    # run_r_101_d_8_ocr_train.sh + coco_stuff/R_101_D_8.json.
+    "network": {"model_name": "spatial_ocrnet",
+                "backbone": "deepbase_resnet101_dilated8",
+                "multi_grid": [1, 1, 1], "stride": 8, "bf16": False,
+                "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+    "loss": {"loss_type": "fs_auxce_loss"},
+    "solver": {"max_iters": 60000},
+})
+
+PRESETS["pascal_context_hrnet_w48_ocr"] = _merge(_PCONTEXT_BASE, {
+    "network": {"model_name": "hrnet_w48_ocr", "backbone": "hrnet48",
+                "stride": 4, "bf16": False,
+                "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+    "loss": {"loss_type": "fs_auxce_loss"},
+    "solver": {"max_iters": 60000},
+})
+
+PRESETS["pascal_context_deeplab_v3"] = _merge(_PCONTEXT_BASE, {
+    # run_r_101_d_8_deeplabv3_train.sh oddly points CONFIGS at the
+    # *cityscapes* R_101_D_8.json (bs 16, lr 0.01, wd 5e-4) while training
+    # pascal-context via CLI data overrides; we keep the pascal data block
+    # and take the script's effective solver/optim values.
+    "train": {"batch_size": 16},
+    "network": {"model_name": "deeplab_v3",
+                "backbone": "deepbase_resnet101_dilated8",
+                "multi_grid": [1, 1, 1], "stride": 8, "bf16": False,
+                "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+    "loss": {"loss_type": "fs_auxce_loss"},
+    "lr": {"base_lr": 0.01},
+    "solver": {"max_iters": 60000},
+    "optim": {"sgd": {"weight_decay": 0.0005}},
+})
+
+PRESETS["lip_hrnet_w48_ocr"] = _merge(PRESETS["lip_ce2p_ocrnet"], {
+    # run_h_48_d_4_ocr_train.sh (lip) + lip/H_48_D_4.json.
+    "network": {"model_name": "hrnet_w48_ocr", "backbone": "hrnet48",
+                "stride": 4, "bf16": False,
+                "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+    "loss": {"loss_type": "fs_auxce_loss"},
+    "solver": {"max_iters": 100000},
+})
+
+
 # CPU-runnable smoke fixture (BASELINE.json config 1 on synthetic data).
 PRESETS["smoke_hrnet_w18"] = _merge(_CITYSCAPES_BASE, _CONTRAST_BLOCK, {
     "data": {"num_classes": 5, "synthetic": True,

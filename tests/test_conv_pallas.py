@@ -114,3 +114,46 @@ def test_hrnet_pallas_flag_trains():
     flat1 = jax.tree_util.tree_leaves(g1)
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(a, b, atol=2e-3, rtol=2e-3)
+
+
+def test_fused_basic_block_eval_matches_xla():
+    """ops/block_pallas.py: the fused two-conv BasicBlock kernel (eval
+    BN folded) matches the XLA formulation — incl. the subtle boundary
+    semantics (conv2's SAME padding must see ZEROS outside the image,
+    not conv1 evaluated on padding) exercised by the first/last row
+    blocks and unaligned width."""
+    from contrastiveseg_tpu.ops.block_pallas import (
+        fold_bn,
+        fused_basic_block_eval,
+        reference_block_eval,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 32, 40, 48
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    w1 = jnp.asarray(
+        rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(
+        rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1)
+
+    def mk():
+        return fold_bn(
+            jnp.asarray(rng.uniform(0.5, 1.5, C).astype(np.float32)),
+            jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1),
+            jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.2),
+            jnp.asarray(rng.uniform(0.5, 2.0, C).astype(np.float32)))
+
+    s1, b1 = mk()
+    s2, b2 = mk()
+    ref = reference_block_eval(x, w1, s1, b1, w2, s2, b2)
+    got = fused_basic_block_eval(x, w1, s1, b1, w2, s2, b2,
+                                 block_h=16, sub_h=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=0)
+
+    # bf16 path (the production dtype) stays within bf16 resolution.
+    got16 = fused_basic_block_eval(
+        x.astype(jnp.bfloat16), w1, s1, b1, w2, s2, b2,
+        block_h=16, sub_h=8, interpret=True)
+    err = np.abs(np.asarray(got16, np.float32) - np.asarray(ref)).max()
+    assert err < 0.35, err  # ~21 activation scale * bf16 eps * depth

@@ -159,14 +159,18 @@ def _install_thnn_shim():
 
 
 def _patch_pil_cubic():
-    """Pillow >= 10 removed Image.CUBIC; pil_aug_transforms.py uses it."""
+    """Pillow >= 10 removed Image.CUBIC (pil_aug_transforms.py) and
+    Pillow >= 7 removed PILLOW_VERSION (csHelpers.py's sanity probe)."""
     try:
+        import PIL
         from PIL import Image
 
         if not hasattr(Image, "CUBIC"):
             Image.CUBIC = Image.BICUBIC
         if not hasattr(Image, "NEAREST"):
             Image.NEAREST = Image.Resampling.NEAREST
+        if not hasattr(PIL, "PILLOW_VERSION"):
+            PIL.PILLOW_VERSION = PIL.__version__
     except ImportError:
         pass
 

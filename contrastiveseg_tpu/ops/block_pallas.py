@@ -22,9 +22,18 @@ block-local rows h-1..h+1, which in turn read padded-input rows
 blocks must stay sublane-aligned — see the conv_pallas notes).  Widths:
 conv1 is evaluated on W+2 columns (one halo column each side for conv2).
 
-Measured (TPU v5e, [8, 128, 256, 48] bf16, see bench_block_pallas.py
-runs documented in README): isolated fused block vs XLA's eval-mode
-(conv+BN+ReLU x2 + residual) lowering of the same block.
+Measured (TPU v5e, [8, 128, 256, 48] bf16, tools/bench_block_pallas.py):
+**fused 1130 us/block (19.2 TF/s) vs XLA 793 us (27.4 TF/s) — 0.70x, a
+NEGATIVE result.**  Two reasons: (1) XLA's eval-mode lowering already
+folds the BN affine + ReLU into its convs and runs them at 27 TF/s —
+much better than the 35 TF/s-against-70 story inside the TRAIN graph
+that motivated this kernel (no batch-stat barriers, no layout flips at
+eval); (2) the in-kernel patch assembly (per-row sublane copies) runs
+twice here and the stage-1 halo width (W+2, not 8-aligned) forces
+strided copies, so the VMEM-resident y1 saves one HBM round-trip but
+costs more in copy overhead than it saves in bandwidth.  The kernel is
+kept as an equivalence-tested building block and as the documented
+datapoint: at eval time XLA needs no Pallas help on this block shape.
 """
 
 from __future__ import annotations

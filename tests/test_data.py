@@ -354,3 +354,32 @@ def test_prepare_camvid_mapillary_celeba(tmp_path):
     # overwrites skin in the overlap rows (reference loop order).
     assert lab[0, 0] == 1 and lab[3, 0] == 13 and lab[5, 0] == 13
     assert lab[7, 0] == 0
+
+
+def test_prepare_pascal_voc(tmp_path):
+    """Standard VOC2012 layout -> {split}/{image,label}; trainval feeds
+    the include_val pascal_voc swap."""
+    import sys
+
+    from PIL import Image as PILImage
+
+    sys.path.insert(0, "tools")
+    import prepare_datasets as prep
+
+    root = tmp_path / "voc"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "SegmentationClass").mkdir()
+    (root / "ImageSets" / "Segmentation").mkdir(parents=True)
+    for name in ("a", "b", "c"):
+        PILImage.fromarray(np.zeros((4, 4, 3), np.uint8)).save(
+            root / "JPEGImages" / f"{name}.jpg")
+        PILImage.fromarray(np.zeros((4, 4), np.uint8)).save(
+            root / "SegmentationClass" / f"{name}.png")
+    (root / "ImageSets" / "Segmentation" / "train.txt").write_text("a\nb\n")
+    (root / "ImageSets" / "Segmentation" / "val.txt").write_text("c\n")
+    (root / "ImageSets" / "Segmentation" / "trainval.txt").write_text(
+        "a\nb\nc\n")
+    out = tmp_path / "voc_out"
+    counts = prep.prepare_pascal_voc(str(root), str(out), link=False)
+    assert counts == {"train": 2, "val": 1, "trainval": 3}
+    assert (out / "trainval" / "label" / "c.png").exists()

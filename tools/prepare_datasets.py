@@ -325,6 +325,39 @@ def prepare_celeba(root: str, out: str, link: bool,
     return counts
 
 
+def prepare_pascal_voc(root: str, out: str, link: bool) -> dict:
+    """PASCAL VOC 2012: JPEGImages + SegmentationClass +
+    ImageSets/Segmentation/{train,val,trainval}.txt.  The reference's
+    generator (preprocess/pascal_voc/pascal_voc_generator.py) instead
+    unpacks a PytorchEncoding .pth mask dump (the SBD-augmented set);
+    this converter takes the standard VOC layout — same output tree, and
+    the trainval split feeds data.include_val's pascal_voc swap."""
+    img_dir = os.path.join(root, "JPEGImages")
+    lab_dir = os.path.join(root, "SegmentationClass")
+    counts = {}
+    for split in ("train", "val", "trainval"):
+        listfile = os.path.join(root, "ImageSets", "Segmentation",
+                                f"{split}.txt")
+        if not os.path.exists(listfile):
+            counts[split] = 0
+            continue
+        with open(listfile) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+        n = 0
+        for name in names:
+            img = os.path.join(img_dir, name + ".jpg")
+            lab = os.path.join(lab_dir, name + ".png")
+            if not (os.path.exists(img) and os.path.exists(lab)):
+                continue
+            _place(img, os.path.join(out, split, "image", name + ".jpg"),
+                   link)
+            _place(lab, os.path.join(out, split, "label", name + ".png"),
+                   link)
+            n += 1
+        counts[split] = n
+    return counts
+
+
 CONVERTERS = {
     "ade20k": prepare_ade20k,
     "coco_stuff": prepare_coco_stuff,
@@ -333,6 +366,7 @@ CONVERTERS = {
     "camvid": prepare_camvid,
     "mapillary": prepare_mapillary,
     "celeba": prepare_celeba,
+    "pascal_voc": prepare_pascal_voc,
 }
 
 

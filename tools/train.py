@@ -25,6 +25,12 @@ def main() -> None:
     ap.add_argument("--config", default=None, help="JSON config file")
     ap.add_argument("--phase", default="train", choices=["train", "val", "test"])
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--finetune", action="store_true",
+                    help="finetune mode: freeze BN stats during training "
+                         "(main_contrastive.py:94 declares this flag but "
+                         "the reference never consumes it; here it maps "
+                         "to network.freeze_bn — ModuleRunner.freeze_bn "
+                         "semantics)")
     ap.add_argument("overrides", nargs="*", help="key.path=value overrides")
     args = ap.parse_args()
 
@@ -48,6 +54,8 @@ def main() -> None:
         cfg = Config.from_args(overrides=args.overrides, base=cfg.to_dict())
     else:
         cfg = Config.from_args(config_file=args.config, overrides=args.overrides)
+    if args.finetune:
+        cfg = cfg.updated("network.freeze_bn", True)
 
     from contrastiveseg_tpu.engine.trainer import Trainer
 

@@ -65,12 +65,15 @@ def _reference_eval(gt, preds, tmp_path):
     torch_ref.setup_reference()
     # The reference module does bare `from instances2dict import ...`
     # (it expects to run as a script from its own directory), and uses
-    # the numpy<1.24 aliases np.float/np.bool (evaluateMatches:395,424).
+    # the numpy<1.24 alias np.float (evaluateMatches:395).  np.bool is a
+    # REAL alias again in numpy>=2 — never clobber it (doing so broke
+    # numpy.testing.assert_allclose for the whole test session once).
     sys.path.append(
         "/root/reference/lib/metrics/cityscapes/evaluation")
     if not hasattr(np, "float"):
         np.float = float  # noqa: NPY001
-        np.bool = bool
+    if not hasattr(np, "bool"):
+        np.bool = np.bool_
     from PIL import Image
 
     from lib.metrics.cityscapes.evaluation import (

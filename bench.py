@@ -38,7 +38,7 @@ def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
                 remat: bool = False, remat_stem: bool = False,
                 donate: bool = False, pallas_conv: bool = False,
                 lane_pad: bool = False, preset: str | None = None,
-                exact_sampling: bool = False):
+                exact_sampling: bool = False, remat_concat: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -62,6 +62,7 @@ def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
     cfg = cfg.updated("network.pallas_conv", pallas_conv)
     cfg = cfg.updated("network.lane_pad", lane_pad)
     cfg = cfg.updated("contrast.exact_sampling", exact_sampling)
+    cfg = cfg.updated("network.remat_concat", remat_concat)
     cfg = cfg.updated("network.remat_scope",
                       os.environ.get("BENCH_REMAT_SCOPE", "stem_layer1"))
     # (BENCH_REMAT_SCOPE=layer1 measured 26.7 img/s vs 28.1 for the
@@ -149,12 +150,14 @@ def run(batch: int, hw: tuple[int, int], steps: int, bf16: bool,
         memory: bool, remat: bool = False, remat_stem: bool = False,
         donate: bool = False, pallas_conv: bool = False,
         lane_pad: bool = False, preset: str | None = None,
-        exact_sampling: bool = False, eval_mode: bool = False):
+        exact_sampling: bool = False, eval_mode: bool = False,
+        remat_concat: bool = False):
     import jax
 
     state, step_fn, batch_data = build_bench(batch, hw, bf16, memory, remat,
                                              remat_stem, donate, pallas_conv,
-                                             lane_pad, preset, exact_sampling)
+                                             lane_pad, preset, exact_sampling,
+                                             remat_concat)
     if eval_mode:
         # Inference forward (engine/tester.py ss_test inner step).
         params, batch_stats = state.params, state.batch_stats
@@ -260,6 +263,10 @@ def main() -> None:
                     help="pad sub-64 HRNet branch widths to 64 "
                          "(models/hrnet.py lane_pad_spec) — TPU layout "
                          "experiment, VERDICT r2 item 3")
+    ap.add_argument("--remat-concat", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="checkpoint the 720-ch branch concat (recompute "
+                         "cheap fuse resizes in the backward; frees ~380MB)")
     ap.add_argument("--eval", action="store_true",
                     help="benchmark the inference forward (Tester ss_test "
                          "path: eval-mode model at the given size) instead "
@@ -361,7 +368,7 @@ def main() -> None:
             perf = run(b, hw, steps, bf16, memory, args.remat,
                        args.remat_stem, bool(args.donate),
                        args.pallas_conv, args.lane_pad, args.preset,
-                       args.exact_sampling, args.eval)
+                       args.exact_sampling, args.eval, args.remat_concat)
             batch = b
             break
         except Exception as e:  # noqa: BLE001

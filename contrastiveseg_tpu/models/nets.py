@@ -52,6 +52,9 @@ class HRNetSeg(nn.Module):
     # Dropout2d(0.10) in the reference cls_head (nets/hrnet.py:76); the
     # trajectory-parity test zeroes it on both sides for determinism.
     head_dropout: float = 0.10
+    # Checkpoint the 4-branch concat (recompute-from-branches in the
+    # backward) — memory lever measured via bench.py --remat-concat.
+    remat_concat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -79,11 +82,23 @@ class HRNetSeg(nn.Module):
             feats = HRNetNext(arch=self.arch, dtype=self.dtype,
                               name="backbone")(x.astype(self.dtype), train)
         h, w = feats[0].shape[1], feats[0].shape[2]
-        cat = jnp.concatenate(
-            [feats[0]]
-            + [resize_bilinear_align_corners(f, (h, w), fast=True) for f in feats[1:]],
-            axis=-1,
-        )
+
+        def _fuse(branches):
+            return jnp.concatenate(
+                [branches[0]]
+                + [resize_bilinear_align_corners(f, (h, w), fast=True)
+                   for f in branches[1:]],
+                axis=-1,
+            )
+
+        if self.remat_concat and train:
+            # Don't store the 720-ch stride-4 concat (378 MB bf16 at
+            # 512x1024 batch 8, consumed by BOTH heads): recompute it in
+            # the backward from the (much smaller, 47 MB total) branch
+            # outputs via the cheap fuse resizes.
+            cat = jax.checkpoint(_fuse)(list(feats))
+        else:
+            cat = _fuse(list(feats))
         out: dict[str, jnp.ndarray] = {}
         seg = ClsHead(self.num_classes, cat.shape[-1], dtype=self.dtype,
                       dropout=self.head_dropout, name="cls_head")(cat, train)
@@ -271,6 +286,7 @@ def _hrnet_variant(arch: str, **defaults):
             pallas_conv=cfg.get("network.pallas_conv", default=False),
             lane_pad=cfg.get("network.lane_pad", default=False),
             head_dropout=cfg.get("network.head_dropout", default=0.10),
+            remat_concat=cfg.get("network.remat_concat", default=False),
             dtype=dtype,
             **defaults,
         )

@@ -358,6 +358,71 @@ def prepare_pascal_voc(root: str, out: str, link: bool) -> dict:
     return counts
 
 
+def prepare_woodscape(root: str, out: str, link: bool) -> dict:
+    """WoodScape fisheye -> rectified pinhole (calibrate_to_rect.py):
+    images named *_{FV,RV,MVL,MVR}.png under {root}/{split}/image with
+    per-camera calibration JSONs in {root}/calib/ (falling back to the
+    reference's bundled JSONs); images remap bilinear, labels nearest.
+    The projection math lives in data/woodscape.py (golden-matched to
+    the vendored Valeo pipeline sub-pixel)."""
+    import numpy as np
+    from PIL import Image
+
+    from contrastiveseg_tpu.data.woodscape import (
+        WoodscapeCamera,
+        rectification_maps,
+        remap,
+    )
+
+    ref_calib = "/root/reference/lib/datasets/preprocess/woodscape"
+    maps_cache: dict[str, tuple] = {}
+
+    def maps_for(cam_name: str):
+        if cam_name not in maps_cache:
+            for base in (os.path.join(root, "calib"), root, ref_calib):
+                p = os.path.join(base, f"{cam_name}.json")
+                if os.path.exists(p):
+                    cam = WoodscapeCamera.from_json(p)
+                    maps_cache[cam_name] = rectification_maps(cam)
+                    break
+            else:
+                maps_cache[cam_name] = None
+        return maps_cache[cam_name]
+
+    counts = {}
+    for split in ("train", "val", "test"):
+        img_dir = os.path.join(root, split, "image")
+        lab_dir = os.path.join(root, split, "label")
+        n = 0
+        if not os.path.isdir(img_dir):
+            counts[split] = 0
+            continue
+        for f in sorted(os.listdir(img_dir)):
+            if not f.endswith(".png"):
+                continue
+            cam_name = os.path.splitext(f)[0].split("_")[-1]
+            m = maps_for(cam_name)
+            if m is None:
+                continue
+            mx, my = m
+            img = np.asarray(Image.open(os.path.join(img_dir, f)))
+            dst = os.path.join(out, split, "image", f)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            Image.fromarray(
+                remap(img.astype(np.float32), mx, my).clip(0, 255)
+                .astype(np.uint8)).save(dst)
+            lab_path = os.path.join(lab_dir, f)
+            if os.path.exists(lab_path):
+                lab = np.asarray(Image.open(lab_path))
+                dstl = os.path.join(out, split, "label", f)
+                os.makedirs(os.path.dirname(dstl), exist_ok=True)
+                Image.fromarray(
+                    remap(lab, mx, my, order=0).astype(lab.dtype)).save(dstl)
+            n += 1
+        counts[split] = n
+    return counts
+
+
 CONVERTERS = {
     "ade20k": prepare_ade20k,
     "coco_stuff": prepare_coco_stuff,
@@ -367,6 +432,7 @@ CONVERTERS = {
     "mapillary": prepare_mapillary,
     "celeba": prepare_celeba,
     "pascal_voc": prepare_pascal_voc,
+    "woodscape": prepare_woodscape,
 }
 
 

@@ -251,6 +251,7 @@ def build_dataset(cfg, split: str = "train"):
             dt_config=DTOffsetConfig(
                 num_classes=cfg.get("data.dt_num_classes", default=8)
             ),
+            boundary_source=cfg.get("data.dt_boundary", default="label"),
             **kwargs,
         )
     return DirectorySegDataset(**kwargs, **extra_sets)

@@ -14,6 +14,8 @@ Re-implements:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from contrastiveseg_tpu.data.datasets import DirectorySegDataset
@@ -49,7 +51,8 @@ class LipDataset(DirectorySegDataset):
 
 
 def compute_dt_targets(
-    label: np.ndarray, cfg: DTOffsetConfig = DTOffsetConfig()
+    label: np.ndarray, cfg: DTOffsetConfig = DTOffsetConfig(),
+    boundary_map: np.ndarray | None = None,
 ) -> dict:
     """Distance transform + boundary-normal direction labels from a label map.
 
@@ -57,11 +60,20 @@ def compute_dt_targets(
     (lib/datasets/preprocess/cityscapes/dt_offset_generator.py): per-class
     EDT to the nearest other-class pixel, Sobel of the distance field for
     the boundary-normal angle.
+
+    ``boundary_map`` optionally supplies a different map for the boundary
+    geometry (EDT + angle) than the ``label`` used for ignore handling —
+    the reference's *instance* variant
+    (preprocess/cityscapes/instance_dt_offset_generator.py) computes
+    offsets from the instance-id map, so touching instances of the same
+    class also get a supervised boundary between them.
     """
     from scipy import ndimage
 
+    if boundary_map is None:
+        boundary_map = label
     # Distance to the nearest boundary: EDT of "same-label region".
-    edge = label_to_edge(label).astype(bool)
+    edge = label_to_edge(boundary_map).astype(bool)
     distance = ndimage.distance_transform_edt(~edge).astype(np.float32)
 
     # Boundary-normal angle from the smoothed distance field.
@@ -85,17 +97,55 @@ def compute_dt_targets(
 
 
 class DTOffsetDataset(DirectorySegDataset):
-    """SegFix ground truth: label + mask_label + dir_label."""
+    """SegFix ground truth: label + mask_label + dir_label.
+
+    ``boundary_source="instance"`` reads `{root}/{split}/instance/{name}.png`
+    (the instance-id maps laid out by tools/prepare_cityscapes.py
+    --instance, mirroring preprocess/cityscapes/cityscapes_instance_generator.py)
+    and derives the boundary geometry from it — the reference's actual
+    SegFix training setup (instance_dt_offset_generator.py), where touching
+    same-class instances are separated by a supervised boundary.  Ignore
+    regions still come from the semantic label.  Falls back to the semantic
+    map per-image when no instance file exists.
+    """
 
     def __init__(self, *args, dt_config: DTOffsetConfig = DTOffsetConfig(),
-                 **kwargs):
+                 boundary_source: str = "label", **kwargs):
         super().__init__(*args, **kwargs)
         self.dt_config = dt_config
+        if boundary_source not in ("label", "instance"):
+            raise ValueError(f"boundary_source {boundary_source!r}")
+        self.boundary_source = boundary_source
+
+    def _instance_map(self, sample: dict) -> np.ndarray | None:
+        from PIL import Image
+
+        img_path = sample["meta"]["img_path"]
+        name = sample["meta"]["name"]
+        split_dir = os.path.dirname(os.path.dirname(img_path))
+        for ext in (".png", ".bmp"):
+            p = os.path.join(split_dir, "instance", name + ext)
+            if os.path.exists(p):
+                inst = np.asarray(Image.open(p)).astype(np.int64)
+                return inst[..., 0] if inst.ndim == 3 else inst
+        return None
 
     def __getitem__(self, idx: int) -> dict:
         sample = super().__getitem__(idx)
         if "label" in sample:
-            sample.update(compute_dt_targets(sample["label"], self.dt_config))
+            boundary = None
+            if self.boundary_source == "instance":
+                boundary = self._instance_map(sample)
+                if boundary is not None:
+                    # Ignore pixels stay boundary-free (reference maps
+                    # non-listed raw ids to 255 before the per-id EDT,
+                    # instance_dt_offset_generator.py:80-84).
+                    boundary = np.where(
+                        sample["label"] < 0, -1, boundary
+                    )
+            sample.update(compute_dt_targets(
+                sample["label"], self.dt_config, boundary_map=boundary
+            ))
         return sample
 
 

@@ -19,7 +19,13 @@ import os
 import shutil
 
 
-def prepare(root: str, out: str, link: bool = True) -> dict:
+def prepare(root: str, out: str, link: bool = True,
+            instance: bool = False) -> dict:
+    """``instance=True`` additionally lays out `{split}/instance/` from the
+    `*_gtFine_instanceIds.png` maps — the reference's
+    cityscapes_instance_generator.py, which feeds the instance-boundary
+    SegFix ground truth (data.dt_boundary="instance") and the
+    instance-level AP evaluator."""
     counts = {}
     for split in ("train", "val", "test"):
         img_src = os.path.join(root, "leftImg8bit", split)
@@ -28,8 +34,11 @@ def prepare(root: str, out: str, link: bool = True) -> dict:
             continue
         img_dst = os.path.join(out, split, "image")
         lab_dst = os.path.join(out, split, "label")
+        ins_dst = os.path.join(out, split, "instance")
         os.makedirs(img_dst, exist_ok=True)
         os.makedirs(lab_dst, exist_ok=True)
+        if instance:
+            os.makedirs(ins_dst, exist_ok=True)
         n = 0
         for city in sorted(os.listdir(img_src)):
             for name in sorted(os.listdir(os.path.join(img_src, city))):
@@ -44,6 +53,14 @@ def prepare(root: str, out: str, link: bool = True) -> dict:
                     (os.symlink if link else shutil.copy2)(
                         lab, os.path.join(lab_dst, stem + ".png")
                     )
+                if instance:
+                    ins = os.path.join(
+                        lab_src, city, stem + "_gtFine_instanceIds.png"
+                    )
+                    if os.path.exists(ins):
+                        (os.symlink if link else shutil.copy2)(
+                            ins, os.path.join(ins_dst, stem + ".png")
+                        )
                 n += 1
         counts[split] = n
     return counts
@@ -55,5 +72,9 @@ if __name__ == "__main__":
     ap.add_argument("--out", required=True)
     ap.add_argument("--link", action="store_true", default=True)
     ap.add_argument("--copy", dest="link", action="store_false")
+    ap.add_argument("--instance", action="store_true",
+                    help="also lay out {split}/instance/ from "
+                         "*_gtFine_instanceIds.png (instance-boundary "
+                         "SegFix + instance AP eval)")
     args = ap.parse_args()
-    print(prepare(args.root, args.out, args.link))
+    print(prepare(args.root, args.out, args.link, args.instance))

@@ -249,7 +249,9 @@ def build_dataset(cfg, split: str = "train"):
 
         return DTOffsetDataset(
             dt_config=DTOffsetConfig(
-                num_classes=cfg.get("data.dt_num_classes", default=8)
+                num_classes=cfg.get("data.dt_num_classes", default=8),
+                max_distance=cfg.get("data.dt_max_distance", default=5.0),
+                c4_align_axis=cfg.get("data.c4_align_axis", default=False),
             ),
             boundary_source=cfg.get("data.dt_boundary", default="label"),
             **kwargs,

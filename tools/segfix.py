@@ -122,6 +122,9 @@ def main() -> None:
     ap.add_argument("--out_dir", required=True)
     ap.add_argument("--scale", type=float, default=2)
     ap.add_argument("--num_classes", type=int, default=8)
+    ap.add_argument("--c4_align_axis", action="store_true",
+                    help="axis-aligned 4-direction mapping (reference "
+                         "c4_align_axis env flag)")
     ap.add_argument("--mode", choices=["semantic", "instance"],
                     default="semantic",
                     help="instance: refine cityscapes instance submissions "
@@ -129,7 +132,8 @@ def main() -> None:
                          "scripts/cityscapes/segfix_instance.py")
     args = ap.parse_args()
 
-    cfg = DTOffsetConfig(num_classes=args.num_classes)
+    cfg = DTOffsetConfig(num_classes=args.num_classes,
+                         c4_align_axis=args.c4_align_axis)
     os.makedirs(args.out_dir, exist_ok=True)
     if args.mode == "instance":
         n = refine_instances(args.input_dir, args.offset_dir, args.out_dir,

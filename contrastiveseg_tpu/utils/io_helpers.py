@@ -79,3 +79,90 @@ class MaskHelper:
         onehot = np.eye(num_classes, dtype=np.float32)[safe]
         onehot[label < 0] = 0
         return onehot
+
+
+class VideoHelper:
+    """Video <-> frame utilities (lib/utils/helpers/video_helper.py).
+
+    The reference wraps cv2.VideoCapture in a list-like reader with an
+    accurate-seek workaround and an LRU frame cache, plus video2frames /
+    frames2video converters; this keeps the same API surface on plain
+    cv2 (lazy-imported — everything else in the framework is cv2-free).
+    """
+
+    class VideoReader:
+        def __init__(self, path: str):
+            import cv2
+
+            self._cap = cv2.VideoCapture(path)
+            if not self._cap.isOpened():
+                raise IOError(f"cannot open video {path!r}")
+            self.fps = self._cap.get(cv2.CAP_PROP_FPS)
+            self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            self.height = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            self._n = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            self._pos = 0
+
+        def __len__(self) -> int:
+            return self._n
+
+        def __getitem__(self, idx: int):
+            import cv2
+
+            if idx < 0:
+                idx += self._n
+            if not 0 <= idx < self._n:
+                raise IndexError(idx)
+            if idx != self._pos:
+                # cv2 seek can land short (reference video_helper.py
+                # "jumping to a certain frame may be inaccurate"):
+                # set-then-check, stepping forward if needed.
+                self._cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
+                self._pos = int(self._cap.get(cv2.CAP_PROP_POS_FRAMES))
+                while self._pos < idx:
+                    self._cap.read()
+                    self._pos += 1
+            ok, frame = self._cap.read()
+            if not ok:
+                raise IOError(f"failed to decode frame {idx}")
+            self._pos = idx + 1
+            return frame[..., ::-1]  # BGR -> RGB
+
+        def __iter__(self):
+            for i in range(self._n):
+                yield self[i]
+
+        def close(self):
+            self._cap.release()
+
+    @staticmethod
+    def video2frames(video_path: str, out_dir: str,
+                     ext: str = ".png") -> int:
+        reader = VideoHelper.VideoReader(video_path)
+        FileHelper.make_dirs(out_dir)
+        n = 0
+        for i, frame in enumerate(reader):
+            ImageHelper.save(os.path.join(out_dir, f"{i:06d}{ext}"), frame)
+            n += 1
+        reader.close()
+        return n
+
+    @staticmethod
+    def frames2video(frame_dir: str, video_path: str, fps: float = 30.0,
+                     fourcc: str = "mp4v") -> int:
+        import cv2
+
+        names = FileHelper.list_dir(frame_dir)
+        if not names:
+            raise ValueError(f"no frames in {frame_dir!r}")
+        first = ImageHelper.read_image(os.path.join(frame_dir, names[0]))
+        h, w = first.shape[:2]
+        FileHelper.make_dirs(video_path, is_file=True)
+        writer = cv2.VideoWriter(
+            video_path, cv2.VideoWriter_fourcc(*fourcc), fps, (w, h)
+        )
+        for name in names:
+            img = ImageHelper.read_image(os.path.join(frame_dir, name))
+            writer.write(img[..., ::-1].copy())  # RGB -> BGR
+        writer.release()
+        return len(names)

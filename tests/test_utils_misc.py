@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from contrastiveseg_tpu.metrics.counters import (
     MultiLabelRunningScore,
@@ -66,3 +67,30 @@ def test_norms_forward():
     y, mut = sn.apply(v, x, train=True, mutable=["batch_stats"])
     assert y.shape == x.shape
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_video_helper_roundtrip(tmp_path):
+    """VideoHelper (reference video_helper.py): frames -> mp4 -> frames,
+    list-like reader with accurate random access."""
+    pytest.importorskip("cv2")
+    from contrastiveseg_tpu.utils.io_helpers import ImageHelper, VideoHelper
+
+    fdir = tmp_path / "frames"
+    fdir.mkdir()
+    shades = (10, 120, 240)
+    for i, c in enumerate(shades):
+        ImageHelper.save(str(fdir / f"{i:06d}.png"),
+                         np.full((32, 48, 3), c, np.uint8))
+    vid = str(tmp_path / "v.mp4")
+    assert VideoHelper.frames2video(str(fdir), vid, fps=5) == 3
+
+    r = VideoHelper.VideoReader(vid)
+    assert len(r) == 3 and (r.width, r.height) == (48, 32)
+    for i, c in enumerate(shades):
+        assert abs(int(r[i].mean()) - c) < 6  # lossy codec tolerance
+    assert abs(int(r[0].mean()) - shades[0]) < 6  # seek-back
+    r.close()
+
+    out = tmp_path / "back"
+    assert VideoHelper.video2frames(vid, str(out)) == 3
+    assert len(list(out.iterdir())) == 3

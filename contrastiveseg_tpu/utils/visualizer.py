@@ -176,3 +176,45 @@ def attention_histogram(attn: np.ndarray, bins: int = 50):
     """Weight-distribution histogram data (the reference's choice=1 path
     plots this; returning (counts, edges) keeps it dependency-free)."""
     return np.histogram(np.asarray(attn).ravel(), bins=bins)
+
+
+def denormalize_image(
+    arr: np.ndarray,
+    div_value: float = 255.0,
+    mean: Sequence[float] = (0.485, 0.456, 0.406),
+    std: Sequence[float] = (0.229, 0.224, 0.225),
+) -> np.ndarray:
+    """Undo the training normalization back to uint8 RGB
+    (reference DeNormalize, lib/datasets/tools/transforms.py — used by
+    lib/vis/tensor_visualizer.py vis_img)."""
+    a = np.asarray(arr, np.float32)
+    a = (a * np.asarray(std, np.float32) + np.asarray(mean, np.float32))
+    return np.clip(a * div_value, 0, 255).astype(np.uint8)
+
+
+def save_tensor_image(
+    arr: np.ndarray, out_path: str,
+    size: Optional[tuple[int, int]] = None,
+    denormalize: bool = False,
+    div_value: float = 255.0,
+    mean: Sequence[float] = (0.485, 0.456, 0.406),
+    std: Sequence[float] = (0.229, 0.224, 0.225),
+) -> str:
+    """Dump one [H, W, C] (or [H, W]) activation/image array as a PNG,
+    optionally resized to ``size`` (w, h) and de-normalized.
+
+    Counterpart of lib/vis/tensor_visualizer.py (whose vis_tensor/vis_img
+    pass cv2.imwrite's arguments swapped and so never ran upstream —
+    re-specified here rather than reproduced)."""
+    a = np.asarray(arr)
+    if denormalize:
+        a = denormalize_image(a, div_value, mean, std)
+    elif a.dtype != np.uint8:
+        lo, hi = float(a.min()), float(a.max())
+        a = ((a - lo) / max(hi - lo, 1e-12) * 255).astype(np.uint8)
+    img = Image.fromarray(a)
+    if size is not None:
+        img = img.resize(size, Image.BILINEAR)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    img.save(out_path)
+    return out_path

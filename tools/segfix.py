@@ -2,10 +2,14 @@
 """SegFix offline refinement: shift boundary-pixel labels along predicted
 offsets.
 
-Re-implements scripts/cityscapes/segfix.py from the reference: for each
+Re-implements the reference apply scripts
+(scripts/cityscapes/{segfix,segfix_ade20k,segfix_instance}.py): for each
 predicted label PNG, load the matching offset prediction (direction labels
-or (dy, dx) vectors), and replace each boundary pixel's label with the
-label at ``(y+dy, x+dx)``.
+or (dy, dx) vectors; ``.npz`` from our Tester or the reference's released
+``.mat`` files), and replace each boundary pixel's label with the label at
+``(y+dy, x+dx)``.  ``--dataset cityscapes|ade20k`` handles raw submission
+ids (encode -> shift -> decode, the LabelTransformer in both scripts);
+``--interp bilinear`` reproduces their grid_sample+round path exactly.
 
 Usage:
     python tools/segfix.py --input_dir pred/label --offset_dir offsets \
@@ -43,23 +47,20 @@ def apply_offsets(label: np.ndarray, offset: np.ndarray,
     return label[ys, xs]
 
 
-def shift_instance_masks(masks: np.ndarray, offset: np.ndarray,
-                         scale: float = 1.0) -> np.ndarray:
-    """Bilinearly resample binary instance masks along (dy, dx) offsets.
+def grid_sample_shift(stack: np.ndarray, offset: np.ndarray,
+                      scale: float = 1.0) -> np.ndarray:
+    """Bilinearly resample [N, H, W] float maps along (dy, dx) offsets.
 
-    Mirrors the reference's instance refinement
-    (scripts/cityscapes/segfix_instance.py `shift`): each mask is sampled
-    at ``(y + dy, x + dx)`` with border padding and re-thresholded at 0.5.
-    The reference normalizes the sampling grid by ``(len-1)/2`` but calls
-    ``grid_sample`` with its default ``align_corners=False``, which lands
-    on pixel coordinate ``(p + dp) * len/(len-1) - 0.5`` — reproduced
-    exactly so refined masks match pixel-for-pixel.
-
-    masks: [N, H, W] (0/1 or bool); offset: [H, W, 2] float (dy, dx).
+    Reproduces the reference apply scripts' torch ``shift`` exactly
+    (scripts/cityscapes/{segfix,segfix_instance,segfix_ade20k}.py): the
+    sampling grid is normalized by ``(len-1)/2`` but ``grid_sample`` runs
+    with its default ``align_corners=False``, which lands on pixel
+    coordinate ``(p + dp) * len/(len-1) - 0.5`` — kept so refined outputs
+    match the reference pixel-for-pixel.  Border padding.
     """
     from scipy import ndimage
 
-    n, h, w = masks.shape
+    n, h, w = stack.shape
     yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
                          np.arange(w, dtype=np.float64), indexing="ij")
     sy = (yy + offset[..., 0] * scale) * h / (h - 1) - 0.5
@@ -68,10 +69,78 @@ def shift_instance_masks(masks: np.ndarray, offset: np.ndarray,
     out = np.empty((n, h, w), np.float64)
     for i in range(n):
         ndimage.map_coordinates(
-            masks[i].astype(np.float64), coords, output=out[i],
+            stack[i].astype(np.float64), coords, output=out[i],
             order=1, mode="nearest",
         )
+    return out
+
+
+def shift_instance_masks(masks: np.ndarray, offset: np.ndarray,
+                         scale: float = 1.0) -> np.ndarray:
+    """Binary instance masks shifted along offsets, re-thresholded at 0.5
+    (scripts/cityscapes/segfix_instance.py `shift`).
+
+    masks: [N, H, W] (0/1 or bool); offset: [H, W, 2] float (dy, dx).
+    """
+    out = grid_sample_shift(masks.astype(np.float64), offset, scale)
     return (out > 0.5).astype(np.uint8)
+
+
+# Raw-submission label encodings used by the reference apply scripts:
+# cityscapes labelIds (scripts/cityscapes/segfix.py LabelTransformer) and
+# ade20k 1-based ids (scripts/cityscapes/segfix_ade20k.py).  "trainid"
+# means the labels are already contiguous train ids (our Tester output).
+RAW_ID_LISTS = {
+    "cityscapes": [7, 8, 11, 12, 13, 17, 19, 20, 21, 22, 23, 24, 25, 26,
+                   27, 28, 31, 32, 33],
+    "ade20k": list(range(1, 151)),
+}
+
+
+def encode_raw_labels(label: np.ndarray, dataset: str) -> np.ndarray:
+    """Raw submission ids -> contiguous train ids (255 = unlabeled)."""
+    lut = np.full(256, 255, np.int64)
+    for i, raw in enumerate(RAW_ID_LISTS[dataset]):
+        lut[raw] = i
+    return lut[label.astype(np.int64)]
+
+
+def decode_raw_labels(label: np.ndarray, dataset: str) -> np.ndarray:
+    """Contiguous train ids -> raw submission ids (255 = unlabeled)."""
+    lut = np.full(256, 255, np.uint8)
+    for i, raw in enumerate(RAW_ID_LISTS[dataset]):
+        lut[i] = raw
+    return lut[np.clip(label, 0, 255).astype(np.int64)]
+
+
+def shift_labels_bilinear(label: np.ndarray, offset: np.ndarray,
+                          scale: float = 1.0) -> np.ndarray:
+    """The reference semantic apply path (segfix.py `shift` + np.round):
+    bilinear grid-sample of the (encoded) id map, rounded to the nearest
+    integer id.  Matches the reference including its quirk of
+    interpolating across numeric id values at boundaries."""
+    out = grid_sample_shift(label[None].astype(np.float64), offset, scale)
+    return np.round(out[0]).astype(np.int64)
+
+
+def load_offset(path: str) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """Load an offset file -> (offset [H, W, 2] or None, dir_label or None).
+
+    ``.npz``: our Tester's test_offset output (``offset`` or ``dir_label``
+    + optional ``mask``).  ``.mat``: the reference's released offset files
+    (key ``mat``, [H, W, 2] (dy, dx) — scripts/cityscapes/segfix.py
+    get_offset)."""
+    if path.endswith(".mat"):
+        import scipy.io as sio
+
+        return sio.loadmat(path)["mat"].astype(np.float64), None
+    data = np.load(path)
+    if "offset" in data:
+        return data["offset"].astype(np.float64), None
+    dir_label = data["dir_label"].astype(np.int64)
+    if "mask" in data:
+        dir_label = np.where(data["mask"] > 0, dir_label, -1)
+    return None, dir_label
 
 
 def refine_instances(input_dir: str, offset_dir: str, out_dir: str,
@@ -130,6 +199,19 @@ def main() -> None:
                     help="instance: refine cityscapes instance submissions "
                          "(*_pred.txt + binary mask PNGs) along offsets — "
                          "scripts/cityscapes/segfix_instance.py")
+    ap.add_argument("--dataset", choices=["trainid", "cityscapes", "ade20k"],
+                    default="trainid",
+                    help="label encoding of the input PNGs: 'trainid' "
+                         "(our Tester output, contiguous ids) or raw "
+                         "submission ids ('cityscapes' labelIds / 'ade20k' "
+                         "1-based) as consumed by the reference apply "
+                         "scripts, which encode -> shift -> decode")
+    ap.add_argument("--interp", choices=["nearest", "bilinear"],
+                    default="nearest",
+                    help="bilinear: the reference scripts' grid_sample + "
+                         "round path (needed for exact submission parity "
+                         "with float .mat offsets); nearest: integer "
+                         "gather (identical for integer offsets)")
     args = ap.parse_args()
 
     cfg = DTOffsetConfig(num_classes=args.num_classes,
@@ -145,22 +227,30 @@ def main() -> None:
         if not name.endswith(".png"):
             continue
         stem = os.path.splitext(name)[0]
-        off_path = os.path.join(args.offset_dir, stem + ".npz")
+        off_path = None
+        for ext in (".npz", ".mat"):
+            p = os.path.join(args.offset_dir, stem + ext)
+            if os.path.exists(p):
+                off_path = p
+                break
         label = np.asarray(
-            Image.open(os.path.join(args.input_dir, name))
+            Image.open(os.path.join(args.input_dir, name)).convert("P")
         ).astype(np.int64)
-        if not os.path.exists(off_path):
+        if args.dataset != "trainid":
+            label = encode_raw_labels(label, args.dataset)
+        if off_path is None:
             out = label
         else:
-            data = np.load(off_path)
-            if "offset" in data:
-                offset = data["offset"].astype(np.int64)
+            offset, dir_label = load_offset(off_path)
+            if offset is None:
+                offset = label_to_vector(dir_label, cfg).astype(np.float64)
+            if args.interp == "bilinear":
+                out = shift_labels_bilinear(label, offset, args.scale)
             else:
-                dir_label = data["dir_label"].astype(np.int64)
-                if "mask" in data:
-                    dir_label = np.where(data["mask"] > 0, dir_label, -1)
-                offset = label_to_vector(dir_label, cfg)
-            out = apply_offsets(label, offset, args.scale)
+                out = apply_offsets(label, offset.astype(np.int64),
+                                    int(args.scale))
+        if args.dataset != "trainid":
+            out = decode_raw_labels(out, args.dataset)
         Image.fromarray(out.astype(np.uint8)).save(
             os.path.join(args.out_dir, name)
         )

@@ -58,14 +58,21 @@ class DirectorySegDataset:
         only_coarse: bool = False,
         only_mapillary: bool = False,
         dataset_name: str = "",
+        label_subdir: str = "label",
     ):
         self.root = root
         self.split = split
         self.label_list = label_list
         self.reduce_zero_label = reduce_zero_label
         self.ignore_from, self.ignore_to = ignore_relabel
+        # data.label_edge2void / label_non_edge2void redirect the GT dir to
+        # the edge-masked variants laid out by tools/prepare_cityscapes.py
+        # --edge-void (reference default_loader.py:114-118).  Fall back to
+        # "label" per-split when the variant dir doesn't exist (the
+        # reference only generates them for the split under study).
+        self.label_subdir = label_subdir
         img_dir = os.path.join(root, split, "image")
-        lab_dir = os.path.join(root, split, "label")
+        lab_dir = self._label_dir(split)
         if use_file_list:
             with open(use_file_list) as f:
                 names = [ln.strip() for ln in f if ln.strip()]
@@ -97,9 +104,15 @@ class DirectorySegDataset:
             if only_mapillary:  # :237-254
                 self.items = self._list_by_label("mapillary")
 
+    def _label_dir(self, split: str) -> str:
+        d = os.path.join(self.root, split, self.label_subdir)
+        if self.label_subdir != "label" and not os.path.isdir(d):
+            return os.path.join(self.root, split, "label")
+        return d
+
     def _list_split(self, split: str) -> list:
         img_dir = os.path.join(self.root, split, "image")
-        lab_dir = os.path.join(self.root, split, "label")
+        lab_dir = self._label_dir(split)
         names = sorted(
             n for n in os.listdir(img_dir) if n.lower().endswith(IMG_EXTS)
         )
@@ -223,12 +236,18 @@ def build_dataset(cfg, split: str = "train"):
             size_hw=(h, w),
             length=cfg.get("data.synthetic_length", default=64),
         )
+    label_subdir = "label"
+    if cfg.get("data.label_edge2void", default=False):
+        label_subdir = "label_edge_void"  # default_loader.py:115-116
+    elif cfg.get("data.label_non_edge2void", default=False):
+        label_subdir = "label_non_edge_void"  # default_loader.py:117-118
     kwargs = dict(
         root=cfg.get("data.data_dir"),
         split=split,
         label_list=cfg.get("data.label_list", default=None),
         reduce_zero_label=cfg.get("data.reduce_zero_label", default=False),
         use_file_list=cfg.get("data.use_file_list", default=None),
+        label_subdir=label_subdir,
     )
     extra_sets = dict(
         include_val=cfg.get("data.include_val", default=False),

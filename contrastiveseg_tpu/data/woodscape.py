@@ -9,11 +9,14 @@ snapped to 90-degree multiples with a centered horizon —
 calibrate_to_rect.py make_rect_cam) and remaps every rectified pixel back
 through the fisheye model.
 
-Only forward projections are needed (pinhole 2d->3d has a closed form and
-the fisheye is applied 3d->2d), so unlike the reference's per-pixel
-quartic `np.roots` loop nothing iterative is required — the whole map is
-a handful of vectorized numpy expressions.  Images are resampled with
-bilinear `scipy.ndimage.map_coordinates`, labels with nearest.
+Rectification needs only forward projections (pinhole 2d->3d has a closed
+form and the fisheye is applied 3d->2d), so nothing iterative is required.
+The reverse direction (cylindrical_to_fisheye.py: render fisheye frames
+from cylindrical ones) needs the fisheye 2d->3d inverse; the reference
+solves the quartic per-pixel with `np.roots`, replaced here by one
+monotonic lookup table + `np.interp` over the whole image.  Images are
+resampled with bilinear `scipy.ndimage.map_coordinates`, labels with
+nearest.
 """
 
 from __future__ import annotations
@@ -103,6 +106,41 @@ class WoodscapeCamera:
         rot[1] = np.pi / 2
         return _matrix_zxz(rot)
 
+    def fisheye_unproject(self, pixels: np.ndarray) -> np.ndarray:
+        """RadialPolyCamProjection.project_2d_to_3d (projection.py:133-147)
+        with norm=1: [..., 2] pixels -> [..., 3] unit rays in cam coords.
+
+        The reference inverts the radial polynomial per-pixel with
+        ``np.roots`` (min positive real root, projection.py:148-157);
+        here the monotonic prefix of ``rho(theta)`` over [0, pi] is
+        tabulated once and inverted with ``np.interp`` — vectorized and
+        equivalent (the smallest root always lies on that prefix)."""
+        lens = (np.asarray(pixels, float) - self.pp) / self.aspect
+        rho = np.linalg.norm(lens, axis=-1)
+        thetas = np.linspace(0.0, np.pi, 16384)
+        rhos = sum(c * thetas ** (i + 1)
+                   for i, c in enumerate(self.coefficients))
+        stop = int(np.argmax(rhos)) + 1  # keep the increasing prefix
+        theta = np.interp(rho, rhos[:stop], thetas[:stop])
+        chi = np.sin(theta)
+        z = np.cos(theta)
+        scale = np.divide(chi, rho, out=np.zeros_like(rho),
+                          where=rho != 0)
+        return np.concatenate([scale[..., None] * lens, z[..., None]], -1)
+
+    def cylindrical_project(self, cam_points: np.ndarray,
+                            focal: Optional[float] = None) -> np.ndarray:
+        """CylindricalProjection.project_3d_to_2d (projection.py:86-100)
+        + the screen transform; focal defaults to k1
+        (cylindrical_to_fisheye.py make_cylindrical_cam)."""
+        f = float(focal if focal is not None else self.coefficients[0])
+        x, y, z = cam_points[..., 0], cam_points[..., 1], cam_points[..., 2]
+        theta = np.arctan2(x, z)
+        chi = np.sqrt(x * x + z * z)
+        v = f * np.divide(y, chi, out=np.zeros_like(chi), where=chi != 0)
+        lens = np.stack([f * theta, v], axis=-1)
+        return lens * self.aspect + self.pp
+
     def fisheye_project(self, cam_points: np.ndarray) -> np.ndarray:
         """RadialPolyCamProjection.project_3d_to_2d (projection.py:122-133)
         + the screen transform: [..., 3] cam rays -> [..., 2] pixels."""
@@ -137,6 +175,28 @@ def rectification_maps(cam: WoodscapeCamera,
     world_dirs = rays @ rect_rot.T
     cam_dirs = world_dirs @ cam.rotation
     src = cam.fisheye_project(cam_dirs)
+    return src[..., 0].astype(np.float32), src[..., 1].astype(np.float32)
+
+
+def cylindrical_to_fisheye_maps(cam: WoodscapeCamera,
+                                focal: Optional[float] = None):
+    """(map_x, map_y) of *cylindrical* source pixels for every fisheye
+    destination pixel — the reference's
+    preprocess/woodscape/cylindrical_to_fisheye.py, i.e.
+    create_img_projection_maps(make_cylindrical_cam(cam), cam).  The
+    cylindrical camera shares the fisheye's size/principal point/aspect
+    and uses the 90-degree-snapped, horizon-centered rotation (the same
+    ``rect_rotation``); its focal length is k1."""
+    w, h = int(cam.size[0]), int(cam.size[1])
+    cyl_rot = cam.rect_rotation()
+
+    u, v = np.meshgrid(np.arange(w, dtype=float),
+                       np.arange(h, dtype=float))
+    rays = cam.fisheye_unproject(np.stack([u, v], -1))
+    # fisheye cam -> world -> cylindrical cam (shared translation cancels).
+    world_dirs = rays @ cam.rotation.T
+    cyl_dirs = world_dirs @ cyl_rot
+    src = cam.cylindrical_project(cyl_dirs, focal)
     return src[..., 0].astype(np.float32), src[..., 1].astype(np.float32)
 
 

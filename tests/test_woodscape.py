@@ -118,3 +118,54 @@ def test_prepare_woodscape_fixture(tmp_path):
     rlab = np.asarray(Image.open(out / "train" / "label" / "0001_FV.png"))
     assert rect.shape == img.shape and rlab.shape == lab.shape
     assert rect.any() and set(np.unique(rlab)) <= set(range(10))
+
+
+def _reference_cyl_maps(sub: int = 64, row_sub: int = 8):
+    """Reference cylindrical->fisheye u/v maps
+    (cylindrical_to_fisheye.py: create_img_projection_maps(cyl, fisheye)),
+    subsampled — the fisheye 2d->3d side calls np.roots per pixel."""
+    pytest.importorskip("cv2")
+    pytest.importorskip("scipy")
+    from scipy.spatial.transform import Rotation as SciRot
+
+    import projection as ref
+
+    cam = ref.read_cam_from_json(CALIB)
+    # make_cylindrical_cam (cylindrical_to_fisheye.py:18-35).
+    lens = ref.CylindricalProjection(cam.lens.coefficients[0])
+    rot_zxz = SciRot.from_matrix(cam.rotation).as_euler("zxz")
+    rot_zxz = np.round(rot_zxz / (np.pi / 2)) * (np.pi / 2)
+    rot_zxz[1] = np.pi / 2
+    cyl = ref.Camera(
+        rotation=SciRot.from_euler(angles=rot_zxz, seq="zxz").as_matrix(),
+        translation=cam.translation,
+        lens=lens,
+        size=cam.size,
+        principle_point=(cam.cx_offset, cam.cy_offset),
+        aspect_ratio=cam.aspect_ratio,
+    )
+    h, w = cam.height, cam.width
+    rows = np.arange(0, h - (h % row_sub), row_sub)
+    u_map = np.zeros((len(rows), w // sub), np.float64)
+    v_map = np.zeros((len(rows), w // sub), np.float64)
+    for i, u_px in enumerate(range(0, w - (w % sub), sub)):
+        dest = np.vstack((np.ones(len(rows)) * u_px, rows)).T
+        src = cyl.project_3d_to_2d(
+            cam.project_2d_to_3d(dest, norm=np.array([1])))
+        u_map[:, i] = src.T[0]
+        v_map[:, i] = src.T[1]
+    return u_map, v_map, sub, row_sub
+
+
+def test_cylindrical_to_fisheye_maps_match_reference():
+    from contrastiveseg_tpu.data.woodscape import cylindrical_to_fisheye_maps
+
+    ref_u, ref_v, sub, row_sub = _reference_cyl_maps()
+    cam = WoodscapeCamera.from_json(CALIB)
+    mx, my = cylindrical_to_fisheye_maps(cam)
+    ours_u = mx[::row_sub, ::sub][: ref_u.shape[0], : ref_u.shape[1]]
+    ours_v = my[::row_sub, ::sub][: ref_v.shape[0], : ref_v.shape[1]]
+    ok = np.isfinite(ref_u)
+    assert ok.all()  # every fisheye pixel has a cylindrical source
+    np.testing.assert_allclose(ours_u[ok], ref_u[ok], atol=2e-2)
+    np.testing.assert_allclose(ours_v[ok], ref_v[ok], atol=2e-2)

@@ -19,6 +19,9 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _place(src: str, dst: str, link: bool) -> None:
@@ -423,6 +426,61 @@ def prepare_woodscape(root: str, out: str, link: bool) -> dict:
     return counts
 
 
+def prepare_woodscape_cyl2fisheye(root: str, out: str, link: bool) -> dict:
+    """Render fisheye frames from cylindrical ones
+    (preprocess/woodscape/cylindrical_to_fisheye.py): same layout and
+    calibration lookup as prepare_woodscape, but remapping through
+    cylindrical_to_fisheye_maps (the reference's
+    create_img_projection_maps(make_cylindrical_cam(cam), cam))."""
+    import numpy as np
+    from PIL import Image
+
+    from contrastiveseg_tpu.data.woodscape import (
+        WoodscapeCamera,
+        cylindrical_to_fisheye_maps,
+        remap,
+    )
+
+    ref_calib = "/root/reference/lib/datasets/preprocess/woodscape"
+    maps_cache: dict[str, tuple] = {}
+
+    def maps_for(cam_name: str):
+        if cam_name not in maps_cache:
+            for base in (os.path.join(root, "calib"), root, ref_calib):
+                p = os.path.join(base, f"{cam_name}.json")
+                if os.path.exists(p):
+                    cam = WoodscapeCamera.from_json(p)
+                    maps_cache[cam_name] = cylindrical_to_fisheye_maps(cam)
+                    break
+            else:
+                maps_cache[cam_name] = None
+        return maps_cache[cam_name]
+
+    counts = {}
+    for split in ("train", "val", "test"):
+        img_dir = os.path.join(root, split, "image")
+        n = 0
+        if not os.path.isdir(img_dir):
+            counts[split] = 0
+            continue
+        for f in sorted(os.listdir(img_dir)):
+            if not f.endswith(".png"):
+                continue
+            m = maps_for(os.path.splitext(f)[0].split("_")[-1])
+            if m is None:
+                continue
+            mx, my = m
+            img = np.asarray(Image.open(os.path.join(img_dir, f)))
+            dst = os.path.join(out, split, "image", f)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            Image.fromarray(
+                remap(img.astype(np.float32), mx, my).clip(0, 255)
+                .astype(np.uint8)).save(dst)
+            n += 1
+        counts[split] = n
+    return counts
+
+
 CONVERTERS = {
     "ade20k": prepare_ade20k,
     "coco_stuff": prepare_coco_stuff,
@@ -433,6 +491,7 @@ CONVERTERS = {
     "celeba": prepare_celeba,
     "pascal_voc": prepare_pascal_voc,
     "woodscape": prepare_woodscape,
+    "woodscape_cyl2fisheye": prepare_woodscape_cyl2fisheye,
 }
 
 

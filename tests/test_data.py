@@ -339,11 +339,17 @@ def test_prepare_camvid_mapillary_celeba(tmp_path):
     hair = np.zeros((8, 8), np.uint8); hair[2:6] = 255
     PILImage.fromarray(skin).save(anno / "00000_skin.png")
     PILImage.fromarray(hair).save(anno / "00000_hair.png")
-    PILImage.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+    # Image at 2x the mask size: the converter must downsize it to the
+    # mask resolution (the reference's celebmask_resize.py step).
+    PILImage.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
         cb / "CelebA-HQ-img" / "0.jpg")
     out3 = tmp_path / "celeba_out"
     counts = prep.prepare_celeba(str(cb), str(out3), link=False)
     assert sum(counts.values()) == 1
+    for split in ("train", "val", "test"):
+        p = out3 / split / "image" / "0.jpg"
+        if p.exists():
+            assert PILImage.open(p).size == (8, 8)
     lab = None
     for split in ("train", "val", "test"):
         p = out3 / split / "label" / "0.png"

@@ -321,8 +321,17 @@ def prepare_celeba(root: str, out: str, link: bool,
         for ext in (".jpg", ".png"):
             src_img = os.path.join(img_root, f"{k}{ext}")
             if os.path.exists(src_img):
-                _place(src_img,
-                       os.path.join(out, split, "image", f"{k}{ext}"), link)
+                img_dst = os.path.join(out, split, "image", f"{k}{ext}")
+                im = Image.open(src_img)
+                if im.size != label.shape[::-1]:
+                    # CelebA-HQ images are 1024x1024 but the part masks
+                    # are 512x512 — downsize to the mask resolution
+                    # (celebmask_resize.py:28-35's Image.ANTIALIAS).
+                    os.makedirs(os.path.dirname(img_dst), exist_ok=True)
+                    im.resize(label.shape[::-1],
+                              Image.LANCZOS).save(img_dst)
+                else:
+                    _place(src_img, img_dst, link)
                 break
         counts[split] += 1
     return counts

@@ -55,10 +55,12 @@ class DirectorySegDataset:
         include_val: bool = False,
         include_coarse: bool = False,
         include_atr: bool = False,
+        include_cihp: bool = False,
         only_coarse: bool = False,
         only_mapillary: bool = False,
         dataset_name: str = "",
         label_subdir: str = "label",
+        image_dir: Optional[str] = None,
     ):
         self.root = root
         self.split = split
@@ -71,8 +73,16 @@ class DirectorySegDataset:
         # "label" per-split when the variant dir doesn't exist (the
         # reference only generates them for the split under study).
         self.label_subdir = label_subdir
-        img_dir = os.path.join(root, split, "image")
-        lab_dir = self._label_dir(split)
+        if image_dir is not None:
+            # Flat-directory mode (`test.test_dir`): images straight from
+            # an arbitrary directory, labels (optional) from a `label/`
+            # sibling.  The reference declares `--test_dir`
+            # (main.py:157-158) but never consumes it; here it works.
+            img_dir = image_dir
+            lab_dir = os.path.join(image_dir, "label")
+        else:
+            img_dir = os.path.join(root, split, "image")
+            lab_dir = self._label_dir(split)
         if use_file_list:
             with open(use_file_list) as f:
                 names = [ln.strip() for ln in f if ln.strip()]
@@ -99,6 +109,9 @@ class DirectorySegDataset:
                 self.items += self._list_by_label("coarse")
             if include_atr:  # :200-215
                 self.items += self._list_by_label("atr")
+            if include_cihp:  # lip_loader.py:172-188
+                self.items += self._list_by_label(
+                    os.path.join("cihp", "single_person"))
             if only_coarse:  # :217-235
                 self.items = self._list_by_label("coarse")
             if only_mapillary:  # :237-254
@@ -236,6 +249,32 @@ def build_dataset(cfg, split: str = "train"):
             size_hw=(h, w),
             length=cfg.get("data.synthetic_length", default=64),
         )
+    data_dirs = cfg.get("data.data_dirs", default=None)
+    if data_dirs and split == "train":
+        # Joint multi-dataset training with the balanced round-robin
+        # sampler (reference multi_dataset_loader.py; used by
+        # scripts/segfix/run_hx_20_d_2_cityscapes_ade20k.sh via its
+        # space-separated DATA_DIR + CHILD_CONFIGS).  Each root gets the
+        # same loader/transform config; DataPipeline picks up
+        # MultiDataset.balanced_indices automatically.
+        from contrastiveseg_tpu.data.loaders_extra import MultiDataset
+
+        subs = []
+        for d in data_dirs:
+            sub = cfg.merged({"data": {"data_dirs": None, "data_dir": d}})
+            subs.append(build_dataset(sub, split))
+        return MultiDataset(subs)
+    if split == "test":
+        test_dir = cfg.get("test.test_dir", default=None)
+        if test_dir:
+            # Arbitrary image-directory testing (the reference's --test_dir
+            # flag, main.py:157-158 — declared there but dead; honored here).
+            return DirectorySegDataset(
+                root=test_dir, split="", image_dir=test_dir,
+                label_list=cfg.get("data.label_list", default=None),
+                reduce_zero_label=cfg.get(
+                    "data.reduce_zero_label", default=False),
+            )
     label_subdir = "label"
     if cfg.get("data.label_edge2void", default=False):
         label_subdir = "label_edge_void"  # default_loader.py:115-116
@@ -253,6 +292,7 @@ def build_dataset(cfg, split: str = "train"):
         include_val=cfg.get("data.include_val", default=False),
         include_coarse=cfg.get("data.include_coarse", default=False),
         include_atr=cfg.get("data.include_atr", default=False),
+        include_cihp=cfg.get("data.include_cihp", default=False),
         only_coarse=cfg.get("data.only_coarse", default=False),
         only_mapillary=cfg.get("data.only_mapillary", default=False),
         dataset_name=cfg.get("dataset", default=""),
@@ -261,7 +301,9 @@ def build_dataset(cfg, split: str = "train"):
     if loader == "lip":
         from contrastiveseg_tpu.data.loaders_extra import LipDataset
 
-        return LipDataset(**kwargs)
+        # The reference LipLoader supports the same extra-set merging
+        # (include_val/include_atr/include_cihp, lip_loader.py:135-188).
+        return LipDataset(**kwargs, **extra_sets)
     if loader == "dt_offset":
         from contrastiveseg_tpu.data.loaders_extra import DTOffsetDataset
         from contrastiveseg_tpu.utils.offset_helper import DTOffsetConfig

@@ -84,12 +84,35 @@ def build_schedule(cfg) -> Callable:
     return sched
 
 
+def _kernel_only_mask(params):
+    """optim.group_method='decay' (reference trainer.py:90-126
+    group_weight): only conv/linear *weights* get weight decay; biases and
+    norm scale/bias don't.  Flax spells exactly those leaves "kernel"."""
+    import jax
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: bool(path)
+        and getattr(path[-1], "key", None) == "kernel",
+        params,
+    )
+
+
+def _decay_mask(cfg):
+    method = cfg.get("optim.group_method", default=None)
+    if method is None:
+        return None  # reference asserts None when not 'decay'
+    if method == "decay":
+        return _kernel_only_mask
+    raise NotImplementedError(f"optim.group_method {method!r}")
+
+
 def _sgd_like(cfg, schedule) -> optax.GradientTransformation:
     method = cfg.get("optim.optim_method", default="sgd")
+    mask = _decay_mask(cfg)
     if method == "sgd":
         p = cfg.get("optim.sgd", default={})
         return optax.chain(
-            optax.add_decayed_weights(p.get("weight_decay", 0.0)),
+            optax.add_decayed_weights(p.get("weight_decay", 0.0), mask=mask),
             optax.sgd(
                 learning_rate=schedule,
                 momentum=p.get("momentum", 0.9),
@@ -100,7 +123,7 @@ def _sgd_like(cfg, schedule) -> optax.GradientTransformation:
         p = cfg.get("optim.adam", default={})
         b1, b2 = p.get("betas", [0.9, 0.999])
         return optax.chain(
-            optax.add_decayed_weights(p.get("weight_decay", 0.0)),
+            optax.add_decayed_weights(p.get("weight_decay", 0.0), mask=mask),
             optax.adam(schedule, b1=b1, b2=b2, eps=p.get("eps", 1e-8)),
         )
     if method == "adamw":
@@ -108,7 +131,7 @@ def _sgd_like(cfg, schedule) -> optax.GradientTransformation:
         b1, b2 = p.get("betas", [0.9, 0.999])
         return optax.adamw(
             schedule, b1=b1, b2=b2, eps=p.get("eps", 1e-8),
-            weight_decay=p.get("weight_decay", 0.01),
+            weight_decay=p.get("weight_decay", 0.01), mask=mask,
         )
     raise NotImplementedError(f"optim method {method!r}")
 

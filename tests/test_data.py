@@ -254,6 +254,7 @@ def test_default_loader_extra_sets(tmp_path):
     put("trainval", "tv1"), put("trainval", "tv2"), put("trainval", "tv3")
     put("coarse", "c1"), put("coarse", "c2", with_image=False)  # c2 skipped
     put("atr", "t1")
+    put("cihp/single_person", "cp1"), put("cihp/single_person", "cp2")
     put("mapillary", "m1", ext="jpg")
 
     root = str(tmp_path)
@@ -261,6 +262,8 @@ def test_default_loader_extra_sets(tmp_path):
     assert len(DirectorySegDataset(root, include_val=True)) == 3
     assert len(DirectorySegDataset(root, include_coarse=True)) == 3
     assert len(DirectorySegDataset(root, include_atr=True)) == 3
+    # LIP's CIHP single-person extension (lip_loader.py:172-188).
+    assert len(DirectorySegDataset(root, include_cihp=True)) == 4
     assert len(DirectorySegDataset(root, only_coarse=True)) == 1
     assert len(DirectorySegDataset(root, only_mapillary=True)) == 1
     assert len(DirectorySegDataset(
@@ -389,3 +392,33 @@ def test_prepare_pascal_voc(tmp_path):
     counts = prep.prepare_pascal_voc(str(root), str(out), link=False)
     assert counts == {"train": 2, "val": 1, "trainval": 3}
     assert (out / "trainval" / "label" / "c.png").exists()
+
+
+def test_test_dir_flat_mode(tmp_path):
+    """`test.test_dir` points the test split at an arbitrary flat image
+    directory (the reference declares --test_dir, main.py:157-158, but
+    never consumes it; we honor it).  Labels are optional."""
+    from PIL import Image as PILImage
+
+    from contrastiveseg_tpu.data.datasets import build_dataset
+    from contrastiveseg_tpu.utils.config import Config
+
+    d = tmp_path / "anywhere"
+    d.mkdir()
+    for n in ("x", "y"):
+        PILImage.fromarray(
+            np.zeros((4, 6, 3), np.uint8)).save(d / f"{n}.png")
+
+    cfg = Config({"data": {"data_dir": str(tmp_path / "unused")},
+                  "test": {"test_dir": str(d)}})
+    ds = build_dataset(cfg, "test")
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["image"].shape == (4, 6, 3) and "label" not in s
+    assert s["meta"]["name"] == "x"
+
+    # With a label/ sibling, labels ride along.
+    (d / "label").mkdir()
+    PILImage.fromarray(np.zeros((4, 6), np.uint8)).save(d / "label" / "x.png")
+    ds2 = build_dataset(cfg, "test")
+    assert "label" in ds2[0] and "label" not in ds2[1]

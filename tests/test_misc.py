@@ -178,3 +178,40 @@ def test_attention_visualizer(tmp_path):
 
     counts, edges = attention_histogram(attn, bins=10)
     assert counts.sum() == attn.size and len(edges) == 11
+
+
+def test_group_method_decay_masks_weight_decay():
+    """optim.group_method='decay' applies weight decay to conv/linear
+    kernels only (reference trainer.py:106-126 group_weight: biases and
+    norm weight/bias land in the no-decay group)."""
+    from contrastiveseg_tpu.engine.optim import build_optimizer
+    from contrastiveseg_tpu.utils.config import Config
+
+    cfg = Config({"lr": {"base_lr": 1.0, "lr_policy": "lambda_poly"},
+                  "optim": {"optim_method": "sgd", "group_method": "decay",
+                            "sgd": {"momentum": 0.0, "weight_decay": 0.5,
+                                    "nesterov": False}},
+                  "solver": {"max_iters": 10}})
+    params = {
+        "conv": {"kernel": jnp.ones((1, 1, 2, 2)), "bias": jnp.ones(2)},
+        "bn": {"scale": jnp.ones(2), "bias": jnp.ones(2)},
+    }
+    tx = build_optimizer(cfg, params)
+    state = tx.init(params)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    up, _ = tx.update(zeros, state, params)
+    # Kernel leaf decays (-lr * wd * w = -0.5); everything else untouched.
+    np.testing.assert_allclose(np.asarray(up["conv"]["kernel"]), -0.5)
+    np.testing.assert_allclose(np.asarray(up["conv"]["bias"]), 0.0)
+    np.testing.assert_allclose(np.asarray(up["bn"]["scale"]), 0.0)
+    np.testing.assert_allclose(np.asarray(up["bn"]["bias"]), 0.0)
+
+    # group_method=None keeps the reference default: decay everywhere.
+    cfg2 = Config({"lr": {"base_lr": 1.0, "lr_policy": "lambda_poly"},
+                   "optim": {"optim_method": "sgd",
+                             "sgd": {"momentum": 0.0, "weight_decay": 0.5,
+                                     "nesterov": False}},
+                   "solver": {"max_iters": 10}})
+    tx2 = build_optimizer(cfg2, params)
+    up2, _ = tx2.update(zeros, tx2.init(params), params)
+    np.testing.assert_allclose(np.asarray(up2["conv"]["bias"]), -0.5)

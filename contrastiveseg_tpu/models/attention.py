@@ -149,6 +149,58 @@ class BaseOCModule(nn.Module):
                           name="drop")(out)
 
 
+class PyramidOCModule(nn.Module):
+    """Pyramid object-context: self-attention inside s x s grid cells per
+    pyramid level, level outputs concatenated with the input and projected.
+
+    The reference ships a run script for a `pyramid_ocnet` model
+    (scripts/cityscapes/ocnet/run_r_101_d_8_pyramidoc_train.sh) that its
+    own SEG_MODEL_DICT never registers (model_manager.py:48-82 — bitrot);
+    rebuilt here from the OCNet paper's Pyramid-OC description so the
+    script's recipe is runnable.  Cells fold into the batch axis, so each
+    level is one fused attention call on the MXU.
+    """
+
+    key_channels: int = 256
+    value_channels: int = 256
+    out_channels: int = 512
+    levels: Sequence[int] = (1, 2, 3, 6)
+    dropout: float = 0.05
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        ctxs = []
+        for s in self.levels:
+            oh, ow = math.ceil(h / s), math.ceil(w / s)
+            ph, pw = oh * s - h, ow * s - w
+            f = x
+            if ph or pw:
+                f = jnp.pad(
+                    f,
+                    ((0, 0), (ph // 2, ph - ph // 2),
+                     (pw // 2, pw - pw // 2), (0, 0)),
+                )
+            f = f.reshape(n, s, oh, s, ow, c).transpose(0, 1, 3, 2, 4, 5)
+            f = f.reshape(n * s * s, oh, ow, c)
+            f = SelfAttention2D(
+                self.key_channels, self.value_channels, self.value_channels,
+                dtype=self.dtype, name=f"attn_s{s}",
+            )(f, train)
+            f = f.reshape(n, s, s, oh, ow, self.value_channels)
+            f = f.transpose(0, 1, 3, 2, 4, 5).reshape(
+                n, s * oh, s * ow, self.value_channels)
+            if ph or pw:
+                f = f[:, ph // 2:ph // 2 + h, pw // 2:pw // 2 + w, :]
+            ctxs.append(f)
+        out = jnp.concatenate([x] + ctxs, axis=-1)
+        out = ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
+                     name="project")(out, train)
+        return nn.Dropout(self.dropout, deterministic=not train,
+                          name="drop")(out)
+
+
 class PSPModule(nn.Module):
     """Pyramid scene parsing pooling (psp_block.py:15)."""
 

@@ -363,9 +363,11 @@ class ResNetContextNet(nn.Module):
     """
 
     num_classes: int
-    context: str = "none"  # none | base_oc | asp_oc | isa | psp | cc
+    context: str = "none"  # none | base_oc | asp_oc | isa | psp | cc | pyramid_oc
     arch: str = "resnet101_dilated8"
     upsample_out: bool = True
+    # fcnet_wo_dsn (reference nets/fcnet.py:72-105): same head, no DSN aux.
+    with_aux: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -375,6 +377,7 @@ class ResNetContextNet(nn.Module):
             BaseOCModule,
             ISAModule,
             PSPModule,
+            PyramidOCModule,
         )
 
         in_h, in_w = x.shape[1], x.shape[2]
@@ -382,13 +385,21 @@ class ResNetContextNet(nn.Module):
             x.astype(self.dtype), train
         )
         c3, c4 = feats[-2], feats[-1]
-        aux = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
-                     name="dsn_conv")(c3, train)
-        aux = nn.Dropout(0.05, deterministic=not train, name="dsn_drop")(aux)
-        aux = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
-                      name="dsn_cls")(aux.astype(jnp.float32))
+        aux = None
+        if self.with_aux:
+            aux = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
+                         name="dsn_conv")(c3, train)
+            aux = nn.Dropout(0.05, deterministic=not train,
+                             name="dsn_drop")(aux)
+            aux = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                          name="dsn_cls")(aux.astype(jnp.float32))
 
-        if self.context == "asp_oc":
+        if self.context == "pyramid_oc":
+            f = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
+                       name="conv3x3")(c4, train)
+            f = PyramidOCModule(out_channels=512, dtype=self.dtype,
+                                name="context")(f, train)
+        elif self.context == "asp_oc":
             f = ASPOCModule(512, dtype=self.dtype, name="context")(c4, train)
         elif self.context == "psp":
             f = PSPModule(512, dtype=self.dtype, name="context")(c4, train)
@@ -412,11 +423,15 @@ class ResNetContextNet(nn.Module):
                       name="cls")(f.astype(jnp.float32))
         if self.upsample_out:
             seg = resize_bilinear_align_corners(seg, (in_h, in_w))
-            aux = resize_bilinear_align_corners(aux, (in_h, in_w))
-        return {"seg": seg, "seg_aux": aux}
+            if aux is not None:
+                aux = resize_bilinear_align_corners(aux, (in_h, in_w))
+        out = {"seg": seg}
+        if aux is not None:
+            out["seg_aux"] = aux
+        return out
 
 
-def _context_variant(context: str):
+def _context_variant(context: str, **defaults):
     def build(cfg) -> nn.Module:
         dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
         return ResNetContextNet(
@@ -425,18 +440,83 @@ def _context_variant(context: str):
             arch=cfg.get("network.backbone", default="resnet101_dilated8")
             .replace("deepbase_", ""),
             dtype=dtype,
+            **defaults,
         )
 
     return build
 
 
 MODELS.register("fcnet")(_context_variant("none"))
+MODELS.register("fcnet_wo_dsn")(_context_variant("none", with_aux=False))
 MODELS.register("base_ocnet")(_context_variant("base_oc"))
 MODELS.register("asp_ocnet")(_context_variant("asp_oc"))
 MODELS.register("isanet")(_context_variant("isa"))
 MODELS.register("pspnet")(_context_variant("psp"))
 MODELS.register("spatial_asp_ocrnet")(_context_variant("asp_oc"))
 MODELS.register("ccnet")(_context_variant("cc"))
+MODELS.register("pyramid_ocnet")(_context_variant("pyramid_oc"))
+
+
+class HRNetISASeg(nn.Module):
+    """HRNet + interlaced-sparse-attention head.
+
+    The hrnet_w48_isa / hrnet48_isa run scripts
+    (scripts/{lip,pascal_context}/run_h_48_d_4_isa_train.sh,
+    scripts/coco_stuff/run_h_48_d_4_isa_train.sh) name models the
+    reference never registers (model_manager.py:48-82 — bitrot);
+    composed here as the obvious intent: 720-ch branch concat ->
+    3x3 ConvBN 512 -> ISAModule -> cls, plus the standard aux head so
+    both fs_ce (lip/pascal scripts) and fs_auxce (coco script) work.
+    """
+
+    num_classes: int
+    arch: str = "hrnet48"
+    upsample_out: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> dict[str, jnp.ndarray]:
+        from contrastiveseg_tpu.models.attention import ISAModule
+
+        in_h, in_w = x.shape[1], x.shape[2]
+        feats = HRNet(HRNET_SPECS[self.arch], dtype=self.dtype, name="backbone")(
+            x.astype(self.dtype), train
+        )
+        h, w = feats[0].shape[1], feats[0].shape[2]
+        cat = jnp.concatenate(
+            [feats[0]]
+            + [resize_bilinear_align_corners(f, (h, w), fast=True)
+               for f in feats[1:]],
+            axis=-1,
+        )
+        aux = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
+                     name="aux_conv")(cat, train)
+        aux = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                      name="aux_cls")(aux.astype(jnp.float32))
+        f = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
+                   name="conv3x3")(cat, train)
+        f = ISAModule(out_channels=512, dtype=self.dtype, name="isa")(f, train)
+        seg = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                      name="cls")(f.astype(jnp.float32))
+        if self.upsample_out:
+            seg = resize_bilinear_align_corners(seg, (in_h, in_w))
+            aux = resize_bilinear_align_corners(aux, (in_h, in_w))
+        return {"seg": seg, "seg_aux": aux}
+
+
+def _hrnet_isa_variant(cfg) -> nn.Module:
+    dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
+    backbone = cfg.get("network.backbone", default="hrnet48")
+    return HRNetISASeg(
+        num_classes=cfg.get("data.num_classes"),
+        arch=backbone if backbone in HRNET_SPECS else "hrnet48",
+        dtype=dtype,
+    )
+
+
+# Both spellings appear across the reference's isa run scripts.
+MODELS.register("hrnet_w48_isa")(_hrnet_isa_variant)
+MODELS.register("hrnet48_isa")(_hrnet_isa_variant)
 
 
 class SegFixHRNet(nn.Module):

@@ -474,6 +474,195 @@ PRESETS["lip_hrnet_w48_ocr"] = _merge(PRESETS["lip_ce2p_ocrnet"], {
 })
 
 
+# --- full script-zoo closure: one preset per remaining distinct reference
+# run script (scripts/** table in tests/test_presets_vs_reference.py).
+# paddle variants differ only in the pretrained-weight file, and the aml lr
+# sweeps only in BASE_LR — both reachable via CLI overrides, not duplicated.
+
+# cityscapes R_101_D_8 family (scripts/cityscapes/{fcn,ocnet,ocrnet,resnest}).
+PRESETS["cityscapes_fcnet"] = _r101_cityscapes("fcnet")
+PRESETS["cityscapes_fcnet_wo_dsn"] = _merge(
+    _r101_cityscapes("fcnet_wo_dsn"),
+    {"loss": {"loss_type": "fs_ce_loss"}})  # run_r_101_d_8_fcn_wo_dsn_train.sh
+PRESETS["cityscapes_pyramid_ocnet"] = _r101_cityscapes("pyramid_ocnet")
+PRESETS["cityscapes_spatial_ocrnet"] = _r101_cityscapes("spatial_ocrnet")
+PRESETS["cityscapes_spatial_asp_ocrnet"] = _r101_cityscapes("spatial_asp_ocrnet")
+for _ideal in ("ideal_spatial_ocrnet", "ideal_spatial_ocrnet_b",
+               "ideal_spatial_ocrnet_c", "ideal_gather_ocrnet",
+               "ideal_distribute_ocrnet"):
+    PRESETS[f"cityscapes_{_ideal}"] = _r101_cityscapes(_ideal)
+# run_r_101_d_8_fcn.sh (resnest): same recipe on the ResNeSt-101 backbone.
+PRESETS["cityscapes_resnest_fcn"] = _merge(
+    _r101_cityscapes("fcnet"),
+    {"network": {"backbone": "deepbase_resnest101_dilated8"}})
+
+# Staged coarse/mapillary recipes (scripts/cityscapes/ocrnet/run_spatial_*
+# + hrnet/run_h_48_d_4_ocr_b_mapillary_*): each stage resumes from the
+# previous stage's checkpoint (the script's PRETRAINED chain) and swaps
+# the train list via the extra-set flags.
+PRESETS["cityscapes_spatial_ocrnet_trainval"] = _merge(
+    _r101_cityscapes("spatial_ocrnet"),
+    {"data": {"include_val": True},
+     "loss": {"loss_type": "fs_auxohemce_loss"},
+     "solver": {"max_iters": 120000}})
+PRESETS["cityscapes_spatial_ocrnet_coarse"] = _merge(
+    _r101_cityscapes("spatial_ocrnet"),
+    {"data": {"only_coarse": True},
+     "loss": {"loss_type": "fs_auxohemce_loss"},
+     "solver": {"max_iters": 100000}})
+PRESETS["cityscapes_spatial_ocrnet_coarse_trainval"] = _merge(
+    _r101_cityscapes("spatial_ocrnet"),
+    {"data": {"include_val": True},
+     "loss": {"loss_type": "fs_auxohemce_loss"},
+     "solver": {"max_iters": 10000}})
+PRESETS["cityscapes_spatial_ocrnet_mapillary"] = _merge(
+    _r101_cityscapes("spatial_ocrnet"),
+    {"data": {"only_mapillary": True},
+     "loss": {"loss_type": "fs_auxohemce_loss"},
+     "solver": {"max_iters": 50000}})
+PRESETS["cityscapes_spatial_ocrnet_mapillary_coarse"] = _merge(
+    _r101_cityscapes("spatial_ocrnet"),
+    {"data": {"only_coarse": True},
+     "loss": {"loss_type": "fs_auxohemce_loss"},
+     "solver": {"max_iters": 50000}})
+PRESETS["cityscapes_hrnet_w48_ocr_trainval"] = _merge(
+    PRESETS["cityscapes_hrnet_w48_ocr"],
+    {"data": {"include_val": True}, "solver": {"max_iters": 100000}})
+PRESETS["cityscapes_hrnet_w48_ocr_b_trainval_ohem"] = _merge(
+    PRESETS["cityscapes_hrnet_w48_ocr_b"],
+    {"data": {"include_val": True}, "train": {"batch_size": 8},
+     "loss": {"loss_type": "fs_auxohemce_loss"},
+     "solver": {"max_iters": 120000}})
+PRESETS["cityscapes_hrnet_w48_ocr_b_coarse_ohem"] = _merge(
+    PRESETS["cityscapes_hrnet_w48_ocr_b"],
+    {"data": {"only_coarse": True}, "train": {"batch_size": 16},
+     "loss": {"loss_type": "fs_auxohemce_loss"},
+     "solver": {"max_iters": 50000}})
+PRESETS["cityscapes_hrnet_w48_ocr_b_coarse_trainval_ohem"] = _merge(
+    PRESETS["cityscapes_hrnet_w48_ocr_b"],
+    {"data": {"include_val": True}, "train": {"batch_size": 8},
+     "loss": {"loss_type": "fs_auxohemce_loss"},
+     "solver": {"max_iters": 20000}})
+
+# SegFix variants (scripts/cityscapes/segfix/* + scripts/segfix/*).
+PRESETS["cityscapes_segfix_hrnet_inst"] = _merge(
+    PRESETS["cityscapes_segfix_hrnet"],
+    # *_inst: offsets from the instance-id boundary map, 20k finetune.
+    {"data": {"dt_boundary": "instance"}, "solver": {"max_iters": 20000}})
+PRESETS["cityscapes_segfix_hrnet_trainval"] = _merge(
+    PRESETS["cityscapes_segfix_hrnet"],
+    {"data": {"include_val": True}, "solver": {"max_iters": 80000}})
+PRESETS["cityscapes_segfix_hrnet2x"] = _merge(
+    PRESETS["cityscapes_segfix_hrnet"],
+    {"network": {"backbone": "hrnet2x20"}})
+PRESETS["cityscapes_segfix_hrnet2x_inst"] = _merge(
+    PRESETS["cityscapes_segfix_hrnet2x"],
+    {"data": {"dt_boundary": "instance"}, "solver": {"max_iters": 20000}})
+PRESETS["cityscapes_segfix_hrnet2x_trainval"] = _merge(
+    PRESETS["cityscapes_segfix_hrnet2x"],
+    {"data": {"include_val": True}, "solver": {"max_iters": 120000}})
+# Joint cityscapes+ade20k SegFix (run_hx_20_d_2_cityscapes_ade20k.sh):
+# two data roots, balanced round-robin sampling.
+PRESETS["segfix_cityscapes_ade20k"] = _merge(
+    PRESETS["cityscapes_segfix_hrnet2x"],
+    {"data": {"data_dirs": ["/data/cityscapes", "/data/ade20k"]},
+     "solver": {"max_iters": 100000}})
+
+PRESETS["celeba_hrnet_w48_ocr"] = _merge(PRESETS["celeba_hrnet_w48"], {
+    # run_h_48_d_4_ocr_train.sh (celeba).
+    "network": {"model_name": "hrnet_w48_ocr"},
+    "loss": {"loss_type": "fs_auxce_loss"},
+})
+
+# coco_stuff tail (scripts/coco_stuff/*).
+PRESETS["coco_stuff_hrnet48_isa"] = _merge(_COCO_STUFF_BASE, {
+    "network": {"model_name": "hrnet48_isa", "backbone": "hrnet48",
+                "stride": 4, "bf16": False,
+                "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+    "loss": {"loss_type": "fs_auxce_loss"},
+    "solver": {"max_iters": 60000},
+})
+PRESETS["coco_stuff_hrnet_w48_ocr_ohem"] = _merge(
+    PRESETS["coco_stuff_hrnet_w48_ocr"],
+    {"train": {"batch_size": 16},
+     "loss": {"loss_type": "fs_auxohemce_loss"}})
+PRESETS["coco_stuff_hrnet_w48_ocr_rmi"] = _merge(
+    PRESETS["coco_stuff_hrnet_w48_ocr"],
+    # run_h_48_d_4_ocr_ohem_train_rmi_paddle.sh + H_48_D_4_RMI.json.
+    {"train": {"batch_size": 16},
+     "loss": {"loss_type": "fs_aux_rmi_loss"}})
+PRESETS["coco_stuff_ideal_spatial_ocrnet"] = _merge(
+    PRESETS["coco_stuff_spatial_ocrnet"],
+    {"network": {"model_name": "ideal_spatial_ocrnet"}})
+PRESETS["coco_stuff_fcnet"] = _merge(
+    PRESETS["coco_stuff_spatial_ocrnet"],
+    {"network": {"model_name": "fcnet"}})
+
+# lip tail (scripts/lip/*) — H_48_D_4 family keeps the ce2p data/transform
+# block (label pairs, 473 crops) with the HRNet models.
+PRESETS["lip_hrnet_w48"] = _merge(PRESETS["lip_hrnet_w48_ocr"], {
+    "network": {"model_name": "hrnet_w48"},
+    "loss": {"loss_type": "fs_ce_loss"},
+})
+PRESETS["lip_hrnet_w48_isa"] = _merge(PRESETS["lip_hrnet_w48_ocr"], {
+    "network": {"model_name": "hrnet_w48_isa"},
+    "loss": {"loss_type": "fs_ce_loss"},
+})
+PRESETS["lip_hrnet_w48_ocr_b"] = _merge(PRESETS["lip_hrnet_w48_ocr"], {
+    "network": {"model_name": "hrnet_w48_ocr_b"},
+})
+PRESETS["lip_ce2p_ideal_ocrnet"] = _merge(PRESETS["lip_ce2p_ocrnet"], {
+    # run_r_101_d_16_ce2p_gt_ocrnet_train.sh (same ce2p_auxce_loss
+    # bitrot as lip_ce2p_ocrnet — fs_auxce is the nearest key).
+    "network": {"model_name": "ce2p_ideal_ocrnet"},
+})
+
+# pascal_context tail (scripts/pascal_context/*).
+PRESETS["pascal_context_hrnet_w48"] = _merge(_PCONTEXT_BASE, {
+    # run_h_48_d_4_train.sh names fs_auxce_loss with the single-output
+    # hrnet_w48 — inexecutable in the reference (HRNet_W48 returns one
+    # map, FSAuxCELoss indexes two); fs_ce is the runnable intent.
+    "network": {"model_name": "hrnet_w48", "backbone": "hrnet48",
+                "stride": 4, "bf16": False},
+    "loss": {"loss_type": "fs_ce_loss"},
+    "solver": {"max_iters": 60000},
+})
+PRESETS["pascal_context_hrnet_w48_isa"] = _merge(_PCONTEXT_BASE, {
+    "network": {"model_name": "hrnet_w48_isa", "backbone": "hrnet48",
+                "stride": 4, "bf16": False},
+    "loss": {"loss_type": "fs_ce_loss"},
+    "solver": {"max_iters": 60000},
+})
+PRESETS["pascal_context_hrnet_w48_ocr_b"] = _merge(
+    PRESETS["pascal_context_hrnet_w48_ocr"],
+    {"network": {"model_name": "hrnet_w48_ocr_b"}})
+PRESETS["pascal_context_hrnet_w48_ocr_rmi"] = _merge(
+    PRESETS["pascal_context_hrnet_w48_ocr"],
+    {"loss": {"loss_type": "fs_aux_rmi_loss"}})
+
+
+def _r101_pcontext(model_name):
+    # pascal_context R_101_D_8 runs: 30k iters (run_r_101_d_8_*_train.sh).
+    return _merge(_PCONTEXT_BASE, {
+        "train": {"batch_size": 16},
+        "network": {"model_name": model_name,
+                    "backbone": "deepbase_resnet101_dilated8",
+                    "multi_grid": [1, 1, 1], "stride": 8, "bf16": False,
+                    "loss_weights": {"aux_loss": 0.4, "seg_loss": 1.0}},
+        "loss": {"loss_type": "fs_auxce_loss"},
+        "solver": {"max_iters": 30000},
+    })
+
+
+PRESETS["pascal_context_spatial_ocrnet"] = _r101_pcontext("spatial_ocrnet")
+PRESETS["pascal_context_spatial_asp_ocrnet"] = _r101_pcontext(
+    "spatial_asp_ocrnet")
+PRESETS["pascal_context_base_ocnet"] = _r101_pcontext("base_ocnet")
+PRESETS["pascal_context_ideal_spatial_ocrnet"] = _r101_pcontext(
+    "ideal_spatial_ocrnet")
+PRESETS["pascal_context_fcnet"] = _r101_pcontext("fcnet")
+
+
 # CPU-runnable smoke fixture (BASELINE.json config 1 on synthetic data).
 PRESETS["smoke_hrnet_w18"] = _merge(_CITYSCAPES_BASE, _CONTRAST_BLOCK, {
     "data": {"num_classes": 5, "synthetic": True,

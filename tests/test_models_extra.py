@@ -154,3 +154,32 @@ def test_mobilenet_reference_name_spelling():
         m = build_backbone(name)
         assert type(m).__name__ == cls_name
     assert build_backbone("mobilenet_v2_dilated8").spec.dilate_scale == 8
+
+
+def test_fcnet_wo_dsn_single_output():
+    """fcnet_wo_dsn (reference nets/fcnet.py:72-105, unregistered in the
+    reference's own SEG_MODEL_DICT): same FCN head, no DSN aux output."""
+    out, hw = _run(MODELS.build("fcnet_wo_dsn", _cfg("fcnet_wo_dsn")))
+    assert out["seg"].shape == (1, *hw, 4)
+    assert "seg_aux" not in out
+    # The dsn head params must not exist (finetune/weight-count parity).
+    with_aux = _run(MODELS.build("fcnet", _cfg("fcnet")))[0]
+    assert "seg_aux" in with_aux
+
+
+def test_pyramid_ocnet():
+    """pyramid_ocnet (script run_r_101_d_8_pyramidoc_train.sh; model
+    missing from the reference's SEG_MODEL_DICT — rebuilt from the OCNet
+    paper's Pyramid-OC)."""
+    out, hw = _run(MODELS.build("pyramid_ocnet", _cfg("pyramid_ocnet")))
+    assert out["seg"].shape == (1, *hw, 4)
+    assert out["seg_aux"].shape == (1, *hw, 4)
+
+
+def test_hrnet_isa_both_spellings():
+    """hrnet_w48_isa / hrnet48_isa (lip+pascal / coco isa scripts; model
+    absent upstream) — HRNet concat -> ISA head, seg + aux outputs."""
+    for name in ("hrnet_w48_isa", "hrnet48_isa"):
+        out, hw = _run(MODELS.build(name, _cfg(name, backbone="hrnet18")))
+        assert out["seg"].shape == (1, *hw, 4)
+        assert out["seg_aux"].shape == (1, *hw, 4)

@@ -159,6 +159,125 @@ JSON_CASES = [
      {"skip_data": True}),
     ("lip_hrnet_w48_ocr", "lip/H_48_D_4.json",
      f"{REF}/scripts/lip/run_h_48_d_4_ocr_train.sh", {}),
+    # --- full script-zoo closure (round 3).
+    ("cityscapes_fcnet", "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/fcn/run_r_101_d_8_fcn_train.sh", {}),
+    ("cityscapes_fcnet_wo_dsn", "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/fcn/run_r_101_d_8_fcn_wo_dsn_train.sh", {}),
+    ("cityscapes_pyramid_ocnet", "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/ocnet/run_r_101_d_8_pyramidoc_train.sh", {}),
+    ("cityscapes_spatial_ocrnet", "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/ocrnet/run_r_101_d_8_ocrnet_train.sh", {}),
+    ("cityscapes_spatial_asp_ocrnet", "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/ocrnet/run_r_101_d_8_asp_ocrnet_train.sh",
+     {}),
+    ("cityscapes_ideal_spatial_ocrnet", "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/ocrnet/run_ideal_spatial_ocrnet.sh", {}),
+    ("cityscapes_ideal_spatial_ocrnet_b", "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/ocrnet/run_ideal_spatial_ocrnet_b.sh", {}),
+    ("cityscapes_ideal_spatial_ocrnet_c", "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/ocrnet/run_ideal_spatial_ocrnet_c.sh", {}),
+    ("cityscapes_ideal_gather_ocrnet", "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/ocrnet/run_ideal_gather_ocrnet.sh", {}),
+    ("cityscapes_ideal_distribute_ocrnet", "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/ocrnet/run_ideal_distribute_ocrnet.sh", {}),
+    ("cityscapes_resnest_fcn", "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/resnest/run_r_101_d_8_fcn.sh", {}),
+    ("cityscapes_spatial_ocrnet_trainval", "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/ocrnet/run_r_101_d_8_ocrnet_trainval.sh",
+     {"extra": {"include_val": True}}),
+    ("cityscapes_spatial_ocrnet_coarse", "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/ocrnet/run_spatial_ocrnet_trainval_coarse.sh",
+     {"extra": {"only_coarse": True}}),
+    ("cityscapes_spatial_ocrnet_coarse_trainval",
+     "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/ocrnet/"
+     "run_spatial_ocrnet_trainval_coarse_trainval.sh",
+     {"extra": {"include_val": True}}),
+    ("cityscapes_spatial_ocrnet_mapillary", "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/ocrnet/"
+     "run_spatial_ocrnet_trainval_mapillary.sh",
+     {"extra": {"only_mapillary": True}}),
+    ("cityscapes_spatial_ocrnet_mapillary_coarse",
+     "cityscapes/R_101_D_8.json",
+     f"{REF}/scripts/cityscapes/ocrnet/"
+     "run_spatial_ocrnet_trainval_mapillary_coarse.sh",
+     {"extra": {"only_coarse": True}}),
+    ("cityscapes_hrnet_w48_ocr_trainval", "cityscapes/H_48_D_4.json",
+     f"{REF}/scripts/cityscapes/hrnet/run_h_48_d_4_ocr_trainval.sh",
+     {"extra": {"include_val": True}}),
+    ("cityscapes_hrnet_w48_ocr_b_trainval_ohem", "cityscapes/H_48_D_4.json",
+     f"{REF}/scripts/cityscapes/hrnet/"
+     "run_h_48_d_4_ocr_b_mapillary_trainval_ohem.sh",
+     {"extra": {"include_val": True}}),
+    ("cityscapes_hrnet_w48_ocr_b_coarse_ohem", "cityscapes/H_48_D_4.json",
+     f"{REF}/scripts/cityscapes/hrnet/"
+     "run_h_48_d_4_ocr_b_mapillary_trainval_coarse_ohem.sh",
+     {"extra": {"only_coarse": True}}),
+    ("cityscapes_hrnet_w48_ocr_b_coarse_trainval_ohem",
+     "cityscapes/H_48_D_4.json",
+     f"{REF}/scripts/cityscapes/hrnet/"
+     "run_h_48_d_4_ocr_b_mapillary_trainval_coarse_trainval_ohem.sh",
+     {"extra": {"include_val": True}}),
+    ("cityscapes_segfix_hrnet_inst", "cityscapes/H_SEGFIX.json",
+     f"{REF}/scripts/cityscapes/segfix/run_h_48_d_4_segfix_inst.sh", {}),
+    ("cityscapes_segfix_hrnet_trainval", "cityscapes/H_SEGFIX.json",
+     f"{REF}/scripts/cityscapes/segfix/run_h_48_d_4_segfix_trainval.sh",
+     {"extra": {"include_val": True}}),
+    ("cityscapes_segfix_hrnet2x", "cityscapes/H_SEGFIX.json",
+     f"{REF}/scripts/cityscapes/segfix/run_hx_20_d_2_segfix.sh", {}),
+    ("cityscapes_segfix_hrnet2x_inst", "cityscapes/H_SEGFIX.json",
+     f"{REF}/scripts/cityscapes/segfix/run_hx_20_d_2_segfix_inst.sh", {}),
+    ("cityscapes_segfix_hrnet2x_trainval", "cityscapes/H_SEGFIX.json",
+     f"{REF}/scripts/cityscapes/segfix/run_hx_20_d_2_segfix_trainval.sh",
+     {"extra": {"include_val": True}}),
+    ("segfix_cityscapes_ade20k", "cityscapes/H_SEGFIX.json",
+     f"{REF}/scripts/segfix/run_hx_20_d_2_cityscapes_ade20k.sh", {}),
+    ("celeba_hrnet_w48_ocr", "celeba/H_48_D_4.json",
+     f"{REF}/scripts/celeba/run_h_48_d_4_ocr_train.sh", {}),
+    ("coco_stuff_hrnet48_isa", "coco_stuff/H_48_D_4.json",
+     f"{REF}/scripts/coco_stuff/run_h_48_d_4_isa_train.sh", {}),
+    ("coco_stuff_hrnet_w48_ocr_ohem", "coco_stuff/H_48_D_4.json",
+     f"{REF}/scripts/coco_stuff/run_h_48_d_4_ocr_ohem_train.sh", {}),
+    ("coco_stuff_hrnet_w48_ocr_rmi", "coco_stuff/H_48_D_4_RMI.json",
+     f"{REF}/scripts/coco_stuff/run_h_48_d_4_ocr_ohem_train_rmi_paddle.sh",
+     {}),
+    ("coco_stuff_ideal_spatial_ocrnet", "coco_stuff/R_101_D_8.json",
+     f"{REF}/scripts/coco_stuff/run_r_101_d_8_gt_ocr_train.sh", {}),
+    ("coco_stuff_fcnet", "coco_stuff/R_101_D_8.json",
+     f"{REF}/scripts/coco_stuff/run_r_101_d_8_train.sh", {}),
+    ("lip_hrnet_w48", "lip/H_48_D_4.json",
+     f"{REF}/scripts/lip/run_h_48_d_4_train.sh", {}),
+    ("lip_hrnet_w48_isa", "lip/H_48_D_4.json",
+     f"{REF}/scripts/lip/run_h_48_d_4_isa_train.sh", {}),
+    ("lip_hrnet_w48_ocr_b", "lip/H_48_D_4.json",
+     f"{REF}/scripts/lip/run_h_48_d_4_ocr_b_train.sh", {}),
+    ("lip_ce2p_ideal_ocrnet", "lip/R_101_D_16.json",
+     f"{REF}/scripts/lip/run_r_101_d_16_ce2p_gt_ocrnet_train.sh",
+     # same ce2p_auxce_loss bitrot as lip_ce2p_ocrnet.
+     {"loss": "fs_auxce_loss"}),
+    ("pascal_context_hrnet_w48", "pascal_context/H_48_D_4.json",
+     f"{REF}/scripts/pascal_context/run_h_48_d_4_train.sh",
+     # script names fs_auxce_loss for the single-output hrnet_w48 —
+     # inexecutable upstream; fs_ce is the runnable intent.
+     {"loss": "fs_ce_loss"}),
+    ("pascal_context_hrnet_w48_isa", "pascal_context/H_48_D_4.json",
+     f"{REF}/scripts/pascal_context/run_h_48_d_4_isa_train.sh", {}),
+    ("pascal_context_hrnet_w48_ocr_b", "pascal_context/H_48_D_4.json",
+     f"{REF}/scripts/pascal_context/run_h_48_d_4_ocr_b_train.sh", {}),
+    ("pascal_context_hrnet_w48_ocr_rmi", "pascal_context/H_48_D_4_RMI.json",
+     f"{REF}/scripts/pascal_context/run_h_48_d_4_ocr_train_rmi_paddle.sh",
+     {}),
+    ("pascal_context_spatial_ocrnet", "pascal_context/R_101_D_8.json",
+     f"{REF}/scripts/pascal_context/run_r_101_d_8_ocr_train.sh", {}),
+    ("pascal_context_spatial_asp_ocrnet", "pascal_context/R_101_D_8.json",
+     f"{REF}/scripts/pascal_context/run_r_101_d_8_aspocr_train.sh", {}),
+    ("pascal_context_base_ocnet", "pascal_context/R_101_D_8.json",
+     f"{REF}/scripts/pascal_context/run_r_101_d_8_baseoc_train.sh", {}),
+    ("pascal_context_ideal_spatial_ocrnet", "pascal_context/R_101_D_8.json",
+     f"{REF}/scripts/pascal_context/run_r_101_d_8_gt_ocr_train.sh", {}),
+    ("pascal_context_fcnet", "pascal_context/R_101_D_8.json",
+     f"{REF}/scripts/pascal_context/run_r_101_d_8_train.sh", {}),
 ]
 
 
@@ -216,6 +335,11 @@ def test_preset_matches_reference_json(preset_name, json_rel, script,
                     "max_samples", "max_views", "warmup_iters",
                     "loss_weight"):
             assert cfg.get(f"contrast.{key}") == rc[key], key
+
+    # extra-set recipe flags (the scripts' include_val/only_coarse/
+    # only_mapillary exports -> data.* flags).
+    for k, v in diverge.get("extra", {}).items():
+        assert cfg.get(f"data.{k}", default=False) == v, k
 
     # script overrides (authoritative over the JSON where present).
     if script:

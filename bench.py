@@ -153,28 +153,56 @@ def run(batch: int, hw: tuple[int, int], steps: int, bf16: bool,
         exact_sampling: bool = False, eval_mode: bool = False,
         remat_concat: bool = False):
     import jax
+    import jax.numpy as jnp
 
     state, step_fn, batch_data = build_bench(batch, hw, bf16, memory, remat,
                                              remat_stem, donate, pallas_conv,
                                              lane_pad, preset, exact_sampling,
                                              remat_concat)
     if eval_mode:
-        # Inference forward (engine/tester.py ss_test inner step).
+        # Inference forward (engine/tester.py ss_test inner step), or the
+        # full multi-scale + flip test (ms_test, BASELINE config 5) when
+        # eval_mode == "ms": the reference's published scale set
+        # (H_48_D_4_TEST.json scale_search) fused into ONE jit so the
+        # axon relay sees a single dispatch per step.
         params, batch_stats = state.params, state.batch_stats
         from contrastiveseg_tpu.models.nets import build_model
+        from contrastiveseg_tpu.ops.resize import resize_bilinear_align_corners
         from contrastiveseg_tpu.presets import get_preset
 
         cfg = get_preset(PRESET_ALIASES.get(
             preset or ("mem" if memory else "contrast"), preset or ""))
         cfg = cfg.updated("network.bf16", bf16)
         model = build_model(cfg)
+        ms_scales = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75, 2.0)
 
-        def fwd(params, batch_stats, images):
+        def _seg(params, batch_stats, images):
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
             out = model.apply(variables, images, train=False)
             return out["seg"]
+
+        if eval_mode == "ms":
+            h, w = hw
+
+            def fwd(params, batch_stats, images):
+                total = jnp.zeros((images.shape[0], h, w,
+                                   cfg.get("data.num_classes")), jnp.float32)
+                flipped = images[:, :, ::-1, :]
+                for s in ms_scales:
+                    sh, sw = int(h * s), int(w * s)
+                    for img, unflip in ((images, False), (flipped, True)):
+                        x = resize_bilinear_align_corners(img, (sh, sw))
+                        logits = _seg(params, batch_stats, x)
+                        probs = jax.nn.softmax(
+                            resize_bilinear_align_corners(
+                                logits.astype(jnp.float32), (h, w)), -1)
+                        total = total + (
+                            probs[:, :, ::-1, :] if unflip else probs)
+                return total
+        else:
+            fwd = _seg
 
         step_fn = jax.jit(fwd)
         images = batch_data["image"]
@@ -267,6 +295,11 @@ def main() -> None:
                     default=False,
                     help="checkpoint the 720-ch branch concat (recompute "
                          "cheap fuse resizes in the backward; frees ~380MB)")
+    ap.add_argument("--ms-eval", action="store_true",
+                    help="benchmark the full multi-scale+flip inference "
+                         "(Tester ms_test semantics, reference "
+                         "H_48_D_4_TEST.json scale_search 0.5..2.0 — "
+                         "BASELINE config 5) fused into one jit")
     ap.add_argument("--eval", action="store_true",
                     help="benchmark the inference forward (Tester ss_test "
                          "path: eval-mode model at the given size) instead "
@@ -368,7 +401,9 @@ def main() -> None:
             perf = run(b, hw, steps, bf16, memory, args.remat,
                        args.remat_stem, bool(args.donate),
                        args.pallas_conv, args.lane_pad, args.preset,
-                       args.exact_sampling, args.eval, args.remat_concat)
+                       args.exact_sampling,
+                       ("ms" if args.ms_eval else args.eval),
+                       args.remat_concat)
             batch = b
             break
         except Exception as e:  # noqa: BLE001
@@ -396,7 +431,9 @@ def main() -> None:
     else:
         tag = PRESET_ALIASES.get(args.preset, args.preset).replace(
             "cityscapes_", "")
-    if args.eval:
+    if args.ms_eval:
+        tag += "_ms_eval"
+    elif args.eval:
         tag += "_eval"
     print(json.dumps({
         "metric": (

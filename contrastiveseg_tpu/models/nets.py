@@ -23,7 +23,7 @@ from flax import linen as nn
 from contrastiveseg_tpu.models.heads import ASPP, ClsHead, ProjectionHead
 from contrastiveseg_tpu.models.hrnet import HRNET_SPECS, HRNet
 from contrastiveseg_tpu.models.layers import ConvBN
-from contrastiveseg_tpu.models.resnet import RESNET_SPECS, ResNet
+from contrastiveseg_tpu.models.resnet import RESNET_SPECS, ResNet, resolve_arch
 from contrastiveseg_tpu.ops.resize import resize_bilinear_align_corners
 from contrastiveseg_tpu.utils.registry import Registry
 
@@ -299,8 +299,8 @@ def _deeplab_variant(**defaults):
         dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
         return DeepLabV3(
             num_classes=cfg.get("data.num_classes"),
-            arch=cfg.get("network.backbone", default="resnet101_dilated8")
-            .replace("deepbase_", ""),
+            arch=resolve_arch(
+                cfg.get("network.backbone", default="resnet101_dilated8")),
             proj_dim=cfg.get("contrast.proj_dim", default=256),
             dtype=dtype,
             **defaults,
@@ -368,6 +368,10 @@ class ResNetContextNet(nn.Module):
     upsample_out: bool = True
     # fcnet_wo_dsn (reference nets/fcnet.py:72-105): same head, no DSN aux.
     with_aux: bool = True
+    # fcnet's 1x1 cls convs are bias=False and its dsn dropout is 0.10
+    # (fcnet.py:36-47); the OC/ISA nets use bias=True / 0.05.
+    cls_bias: bool = True
+    dsn_dropout: float = 0.05
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -389,9 +393,10 @@ class ResNetContextNet(nn.Module):
         if self.with_aux:
             aux = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
                          name="dsn_conv")(c3, train)
-            aux = nn.Dropout(0.05, deterministic=not train,
+            aux = nn.Dropout(self.dsn_dropout, deterministic=not train,
                              name="dsn_drop")(aux)
-            aux = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+            aux = nn.Conv(self.num_classes, (1, 1), use_bias=self.cls_bias,
+                          dtype=jnp.float32,
                           name="dsn_cls")(aux.astype(jnp.float32))
 
         if self.context == "pyramid_oc":
@@ -419,7 +424,8 @@ class ResNetContextNet(nn.Module):
             else:  # plain dilated FCN head
                 f = nn.Dropout(0.1, deterministic=not train,
                                name="fcn_drop")(f)
-        seg = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+        seg = nn.Conv(self.num_classes, (1, 1), use_bias=self.cls_bias,
+                      dtype=jnp.float32,
                       name="cls")(f.astype(jnp.float32))
         if self.upsample_out:
             seg = resize_bilinear_align_corners(seg, (in_h, in_w))
@@ -437,8 +443,8 @@ def _context_variant(context: str, **defaults):
         return ResNetContextNet(
             num_classes=cfg.get("data.num_classes"),
             context=context,
-            arch=cfg.get("network.backbone", default="resnet101_dilated8")
-            .replace("deepbase_", ""),
+            arch=resolve_arch(
+                cfg.get("network.backbone", default="resnet101_dilated8")),
             dtype=dtype,
             **defaults,
         )
@@ -446,8 +452,12 @@ def _context_variant(context: str, **defaults):
     return build
 
 
-MODELS.register("fcnet")(_context_variant("none"))
-MODELS.register("fcnet_wo_dsn")(_context_variant("none", with_aux=False))
+MODELS.register("fcnet")(
+    _context_variant("none", cls_bias=False, dsn_dropout=0.10))
+# fcnet_wo_dsn's 1x1 cls conv keeps its bias (fcnet.py:93 bias=True),
+# unlike FcnNet's (fcnet.py:40 bias=False).
+MODELS.register("fcnet_wo_dsn")(
+    _context_variant("none", with_aux=False, cls_bias=True))
 MODELS.register("base_ocnet")(_context_variant("base_oc"))
 MODELS.register("asp_ocnet")(_context_variant("asp_oc"))
 MODELS.register("isanet")(_context_variant("isa"))
@@ -566,8 +576,8 @@ def _spatial_ocrnet(cfg) -> nn.Module:
     dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
     return SpatialOCRNet(
         num_classes=cfg.get("data.num_classes"),
-        arch=cfg.get("network.backbone", default="resnet101_dilated8")
-        .replace("deepbase_", ""),
+        arch=resolve_arch(
+            cfg.get("network.backbone", default="resnet101_dilated8")),
         dtype=dtype,
     )
 
@@ -773,8 +783,8 @@ def _ce2p_variant(context: str):
         return CE2PNet(
             num_classes=cfg.get("data.num_classes"),
             context=context,
-            arch=cfg.get("network.backbone", default="resnet101_dilated8")
-            .replace("deepbase_", ""),
+            arch=resolve_arch(
+                cfg.get("network.backbone", default="resnet101_dilated8")),
             dtype=dtype,
         )
 
@@ -792,8 +802,8 @@ def _ideal_variant(variant: str):
         return IdealSpatialOCRNet(
             num_classes=cfg.get("data.num_classes"),
             variant=variant,
-            arch=cfg.get("network.backbone", default="resnet101_dilated8")
-            .replace("deepbase_", ""),
+            arch=resolve_arch(
+                cfg.get("network.backbone", default="resnet101_dilated8")),
             dtype=dtype,
         )
 

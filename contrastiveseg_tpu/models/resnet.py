@@ -71,6 +71,16 @@ RESNET_SPECS: dict[str, ResNetSpec] = {
 }
 
 
+def resolve_arch(name: str) -> str:
+    """Exact spec names first — deep and plain stems coexist in the zoo —
+    and strip the ``deepbase_`` prefix only when the exact name is absent.
+    (An unconditional strip silently mapped deepbase_resnet50_dilated8 /
+    deepbase_resnet101_dilated16 onto plain-stem specs.)"""
+    if name in RESNET_SPECS:
+        return name
+    return name.replace("deepbase_", "")
+
+
 def _zoo() -> None:
     """Every arch string the reference backbone selector accepts
     (resnet_backbone.py:137-290), with exact deep_base semantics per

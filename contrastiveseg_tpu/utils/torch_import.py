@@ -316,6 +316,28 @@ def ms_ocr_path(path: tuple[str, ...]) -> Optional[TorchKey]:
     return None
 
 
+def fcnet_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """ResNetContextNet context='none' (models/nets.py) -> reference
+    FcnNet / FcnNet_wo_dsn (nets/fcnet.py:21-105): backbone + cls_head
+    Sequential(conv3x3, BNReLU, Dropout, 1x1) + optional dsn_head twin."""
+    if path[0] == "backbone":
+        tk = resnet_backbone_path(path[1:])
+        if tk is not None:
+            tk.key = f"backbone.{tk.key}"
+            if tk.fold_bias_key:
+                tk.fold_bias_key = f"backbone.{tk.fold_bias_key}"
+        return tk
+    if path[0] == "conv3x3":
+        return _convbn("cls_head.0", "cls_head.1.0", path[1:])
+    if path[0] == "cls":
+        return _plain_conv("cls_head.3", path[1:])
+    if path[0] == "dsn_conv":
+        return _convbn("dsn_head.0", "dsn_head.1.0", path[1:])
+    if path[0] == "dsn_cls":
+        return _plain_conv("dsn_head.3", path[1:])
+    return None
+
+
 PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "hrnet_seg": hrnet_seg_path,
     "hrnet_backbone": hrnet_backbone_path,
@@ -323,6 +345,7 @@ PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "deeplab": deeplab_path,
     "hrnet_ocr": hrnet_ocr_path,
     "ms_ocr": ms_ocr_path,
+    "fcnet": fcnet_path,
 }
 
 
@@ -334,6 +357,8 @@ def mapper_for_model(model_name: str) -> str:
         return "hrnet_ocr"
     if model_name.startswith("deeplab"):
         return "deeplab"
+    if model_name.startswith("fcnet"):
+        return "fcnet"
     if model_name.startswith("hrnet"):
         return "hrnet_seg"
     raise KeyError(

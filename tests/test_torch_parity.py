@@ -314,3 +314,52 @@ def test_ms_ocr_forward_parity_eval():
         assert a.shape == b.shape, (k, a.shape, b.shape)
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
         assert err < 2e-3, f"{k}: max rel err {err}"
+
+
+def test_fcnet_forward_parity_eval():
+    """FcnNet + FcnNet_wo_dsn (nets/fcnet.py:21-105) forward parity on
+    imported weights through the 'fcnet' mapper — pins the ResNetContextNet
+    'none' head layout (bias-free 1x1 cls, conv3x3+BN names) for both the
+    dsn and no-dsn variants.  65x65 input for maxpool floor/ceil agreement
+    (see test_deeplab_forward_parity_eval)."""
+    from contrastiveseg_tpu.models.nets import ResNetContextNet
+
+    for wo_dsn in (False, True):
+        net = torch_ref.build_fcnet(num_classes=7, seed=0, wo_dsn=wo_dsn,
+                                    backbone="deepbase_resnet50_dilated8")
+        g = torch.Generator().manual_seed(7)
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                with torch.no_grad():
+                    m.running_mean.normal_(0, 0.5, generator=g)
+                    m.running_var.uniform_(0.5, 2.0, generator=g)
+        sd = torch_ref.state_dict_numpy(net)
+
+        model = ResNetContextNet(num_classes=7, context="none",
+                                 arch="deepbase_resnet50_dilated8",
+                                 with_aux=not wo_dsn, cls_bias=wo_dsn,
+                                 dsn_dropout=0.10)
+        rng = jax.random.PRNGKey(0)
+        x = np.random.RandomState(0).randn(1, 65, 65, 3).astype(np.float32)
+        variables = model.init({"params": rng, "dropout": rng},
+                               jnp.asarray(x), train=True)
+        newvars, report = ti.convert_state_dict(variables, sd, "fcnet")
+        assert report["missing"] == [], report["missing"][:10]
+        assert report["unused"] == [], report["unused"][:10]
+
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        with torch.no_grad():
+            out_t = net(xt)
+        out_j = model.apply(
+            {"params": newvars["params"],
+             "batch_stats": newvars["batch_stats"]},
+            jnp.asarray(x), train=False,
+        )
+        pairs = ([("seg", out_t)] if wo_dsn
+                 else [("seg_aux", out_t[0]), ("seg", out_t[1])])
+        for key, t in pairs:
+            a = t.numpy()
+            b = np.transpose(np.asarray(out_j[key]), (0, 3, 1, 2))
+            assert a.shape == b.shape, (key, a.shape, b.shape)
+            err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
+            assert err < 1e-4, f"wo_dsn={wo_dsn} {key}: max rel err {err}"

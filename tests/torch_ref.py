@@ -295,3 +295,22 @@ def build_deeplab_contrast(num_classes=19, proj_dim=256, seed=0,
     net = DeepLabV3Contrast(c)
     net.eval()
     return net
+
+
+def build_fcnet(num_classes=19, seed=0, wo_dsn=False,
+                backbone="deepbase_resnet101_dilated8"):
+    """Reference FcnNet / FcnNet_wo_dsn (lib/models/nets/fcnet.py:21-105),
+    eval.  FcnNet_wo_dsn is absent from the reference's SEG_MODEL_DICT, so
+    it is imported straight from the module."""
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    c = build_configer({"data": {"num_classes": num_classes},
+                        "network": {"backbone": backbone,
+                                    "multi_grid": [1, 1, 1]}})
+    from lib.models.nets.fcnet import FcnNet, FcnNet_wo_dsn
+
+    net = (FcnNet_wo_dsn if wo_dsn else FcnNet)(c)
+    net.eval()
+    return net

@@ -338,6 +338,31 @@ def fcnet_path(path: tuple[str, ...]) -> Optional[TorchKey]:
     return None
 
 
+def spatial_ocrnet_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """SpatialOCRNet (models/nets.py) -> reference SpatialOCRNet
+    (nets/ocrnet.py:19-69): backbone + conv_3x3 Sequential(conv, BNReLU)
+    + spatial_ocr_head (SpatialOCR_Module) + head (1x1, bias) + dsn_head
+    Sequential(conv, BNReLU, Dropout, 1x1 bias)."""
+    if path[0] == "backbone":
+        tk = resnet_backbone_path(path[1:])
+        if tk is not None:
+            tk.key = f"backbone.{tk.key}"
+            if tk.fold_bias_key:
+                tk.fold_bias_key = f"backbone.{tk.fold_bias_key}"
+        return tk
+    if path[0] == "conv3x3":
+        return _convbn("conv_3x3.0", "conv_3x3.1.0", path[1:])
+    if path[0] == "ocr_distri":
+        return _ocr_distri(path[1:], base="spatial_ocr_head")
+    if path[0] == "cls":
+        return _plain_conv("head", path[1:])
+    if path[0] == "dsn_conv":
+        return _convbn("dsn_head.0", "dsn_head.1.0", path[1:])
+    if path[0] == "dsn_cls":
+        return _plain_conv("dsn_head.3", path[1:])
+    return None
+
+
 PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "hrnet_seg": hrnet_seg_path,
     "hrnet_backbone": hrnet_backbone_path,
@@ -346,6 +371,7 @@ PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "hrnet_ocr": hrnet_ocr_path,
     "ms_ocr": ms_ocr_path,
     "fcnet": fcnet_path,
+    "spatial_ocrnet": spatial_ocrnet_path,
 }
 
 
@@ -359,6 +385,8 @@ def mapper_for_model(model_name: str) -> str:
         return "deeplab"
     if model_name.startswith("fcnet"):
         return "fcnet"
+    if model_name == "spatial_ocrnet":
+        return "spatial_ocrnet"
     if model_name.startswith("hrnet"):
         return "hrnet_seg"
     raise KeyError(

@@ -363,3 +363,43 @@ def test_fcnet_forward_parity_eval():
             assert a.shape == b.shape, (key, a.shape, b.shape)
             err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
             assert err < 1e-4, f"wo_dsn={wo_dsn} {key}: max rel err {err}"
+
+
+def test_spatial_ocrnet_forward_parity_eval():
+    """Reference SpatialOCRNet (nets/ocrnet.py:19-69) forward parity on
+    imported weights through the 'spatial_ocrnet' mapper — covers the
+    ResNet-OCR published config family (R-101-d8 + SpatialOCR head)."""
+    from contrastiveseg_tpu.models.nets import SpatialOCRNet
+
+    net = torch_ref.build_spatial_ocrnet(
+        num_classes=7, seed=0, backbone="deepbase_resnet50_dilated8")
+    g = torch.Generator().manual_seed(11)
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.normal_(0, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 2.0, generator=g)
+    sd = torch_ref.state_dict_numpy(net)
+
+    model = SpatialOCRNet(num_classes=7, arch="deepbase_resnet50_dilated8")
+    rng = jax.random.PRNGKey(0)
+    x = np.random.RandomState(1).randn(1, 65, 65, 3).astype(np.float32)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.asarray(x), train=True)
+    newvars, report = ti.convert_state_dict(variables, sd, "spatial_ocrnet")
+    assert report["missing"] == [], report["missing"][:10]
+    assert report["unused"] == [], report["unused"][:10]
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        aux_t, seg_t = net(xt)
+    out_j = model.apply(
+        {"params": newvars["params"], "batch_stats": newvars["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    for key, t in [("seg_aux", aux_t), ("seg", seg_t)]:
+        a = t.numpy()
+        b = np.transpose(np.asarray(out_j[key]), (0, 3, 1, 2))
+        assert a.shape == b.shape, (key, a.shape, b.shape)
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
+        assert err < 2e-3, f"{key}: max rel err {err}"

@@ -314,3 +314,20 @@ def build_fcnet(num_classes=19, seed=0, wo_dsn=False,
     net = (FcnNet_wo_dsn if wo_dsn else FcnNet)(c)
     net.eval()
     return net
+
+
+def build_spatial_ocrnet(num_classes=19, seed=0,
+                         backbone="deepbase_resnet101_dilated8"):
+    """Reference SpatialOCRNet (lib/models/nets/ocrnet.py:19-69), eval."""
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    c = build_configer({"data": {"num_classes": num_classes},
+                        "network": {"backbone": backbone,
+                                    "multi_grid": [1, 1, 1]}})
+    from lib.models.nets.ocrnet import SpatialOCRNet
+
+    net = SpatialOCRNet(c)
+    net.eval()
+    return net

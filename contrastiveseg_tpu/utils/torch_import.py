@@ -363,6 +363,29 @@ def spatial_ocrnet_path(path: tuple[str, ...]) -> Optional[TorchKey]:
     return None
 
 
+def segfix_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """SegFixHRNet (models/nets.py) -> reference SegFix_HRNet
+    (nets/segfix.py:25-89): HRNet backbone + twin 1x1 heads
+    {mask,dir}_head = Sequential(conv bias=False, BNReLU, conv bias=False).
+    Lets the published reference SegFix checkpoints drive our offset
+    refiner."""
+    if path[0] == "backbone":
+        tk = hrnet_backbone_path(path[1:])
+        if tk is not None:
+            tk.key = f"backbone.{tk.key}"
+            if tk.fold_bias_key:
+                tk.fold_bias_key = f"backbone.{tk.fold_bias_key}"
+        return tk
+    m = re.fullmatch(r"(mask|dir)_conv", path[0])
+    if m:
+        return _convbn(f"{m.group(1)}_head.0", f"{m.group(1)}_head.1.0",
+                       path[1:])
+    m = re.fullmatch(r"(mask|dir)_cls", path[0])
+    if m:
+        return _plain_conv(f"{m.group(1)}_head.2", path[1:])
+    return None
+
+
 PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "hrnet_seg": hrnet_seg_path,
     "hrnet_backbone": hrnet_backbone_path,
@@ -372,6 +395,7 @@ PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "ms_ocr": ms_ocr_path,
     "fcnet": fcnet_path,
     "spatial_ocrnet": spatial_ocrnet_path,
+    "segfix": segfix_path,
 }
 
 
@@ -387,6 +411,8 @@ def mapper_for_model(model_name: str) -> str:
         return "fcnet"
     if model_name == "spatial_ocrnet":
         return "spatial_ocrnet"
+    if model_name.startswith("segfix"):
+        return "segfix"
     if model_name.startswith("hrnet"):
         return "hrnet_seg"
     raise KeyError(

@@ -403,3 +403,42 @@ def test_spatial_ocrnet_forward_parity_eval():
         assert a.shape == b.shape, (key, a.shape, b.shape)
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
         assert err < 2e-3, f"{key}: max rel err {err}"
+
+
+def test_segfix_forward_parity_eval():
+    """Reference SegFix_HRNet (nets/segfix.py:25-89) forward parity on
+    imported weights through the 'segfix' mapper — published SegFix
+    checkpoints become usable by our offset refiner (tools/segfix.py)."""
+    from contrastiveseg_tpu.models.nets import SegFixHRNet
+
+    net = torch_ref.build_segfix_hrnet(seed=0, backbone="hrnet48")
+    g = torch.Generator().manual_seed(13)
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.normal_(0, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 2.0, generator=g)
+    sd = torch_ref.state_dict_numpy(net)
+
+    model = SegFixHRNet(num_directions=8, arch="hrnet48")
+    rng = jax.random.PRNGKey(0)
+    x = np.random.RandomState(2).randn(1, 64, 64, 3).astype(np.float32)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.asarray(x), train=True)
+    newvars, report = ti.convert_state_dict(variables, sd, "segfix")
+    assert report["missing"] == [], report["missing"][:10]
+    assert report["unused"] == [], report["unused"][:10]
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        mask_t, dir_t = net(xt)
+    out_j = model.apply(
+        {"params": newvars["params"], "batch_stats": newvars["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    for key, t in [("mask", mask_t), ("dir", dir_t)]:
+        a = t.numpy()
+        b = np.transpose(np.asarray(out_j[key]), (0, 3, 1, 2))
+        assert a.shape == b.shape, (key, a.shape, b.shape)
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
+        assert err < 2e-3, f"{key}: max rel err {err}"

@@ -331,3 +331,18 @@ def build_spatial_ocrnet(num_classes=19, seed=0,
     net = SpatialOCRNet(c)
     net.eval()
     return net
+
+
+def build_segfix_hrnet(seed=0, backbone="hrnet48"):
+    """Reference SegFix_HRNet (lib/models/nets/segfix.py:25-89), eval.
+    num_directions comes from DTOffsetConfig (env dt_num_classes, default 8)."""
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    c = build_configer({"network": {"backbone": backbone}})
+    from lib.models.nets.segfix import SegFix_HRNet
+
+    net = SegFix_HRNet(c)
+    net.eval()
+    return net

@@ -15,9 +15,9 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from contrastiveseg_tpu.models.attention import ASPOCModule, PSPModule
+from contrastiveseg_tpu.models.attention import PSPModule
 from contrastiveseg_tpu.models.layers import ConvBN
-from contrastiveseg_tpu.models.ocr import SpatialGather, SpatialOCR
+from contrastiveseg_tpu.models.ocr import SpatialGather, SpatialOCR, SpatialOCRASP
 from contrastiveseg_tpu.models.resnet import RESNET_SPECS, ResNet
 from contrastiveseg_tpu.ops.resize import resize_bilinear_align_corners
 
@@ -102,9 +102,20 @@ class CE2PNet(nn.Module):
 
         # Context head on layer4 conditioned on the dsn probs.
         if self.context == "asp_ocr":
-            f = ASPOCModule(512, rates=(6, 12, 18), dtype=self.dtype,
-                            name="context")(c4, train)
+            # CE2P_ASPOCR (ce2pnet.py:48-53): SpatialOCR_ASP_Module
+            # (2048 -> 256 hidden, out 512, dilations 6/12/18) driven by
+            # the dsn logits.
+            f = SpatialOCRASP(hidden=256, out_channels=512,
+                              dilations=(6, 12, 18), dtype=self.dtype,
+                              name="context")(c4, dsn, train)
         elif self.context == "ocr":
+            # Reference CE2P_OCRNet / CE2P_IdealOCRNet are INEXECUTABLE:
+            # they call Decoder_Module(num_classes, dropout=...) but
+            # Decoder_Module's signature is (bn_type, inplane1, inplane2,
+            # outplane) (decoder_block.py:182-184) -> TypeError at
+            # construction; the lip ce2p_ocr/gt_ocrnet run scripts cannot
+            # have produced checkpoints.  This branch is our executable
+            # re-specification of the evident intent.
             f = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
                        name="conv3x3")(c4, train)
             dsn_at_f = resize_bilinear_align_corners(dsn, (f.shape[1], f.shape[2]))

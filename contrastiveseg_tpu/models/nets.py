@@ -462,7 +462,6 @@ MODELS.register("base_ocnet")(_context_variant("base_oc"))
 MODELS.register("asp_ocnet")(_context_variant("asp_oc"))
 MODELS.register("isanet")(_context_variant("isa"))
 MODELS.register("pspnet")(_context_variant("psp"))
-MODELS.register("spatial_asp_ocrnet")(_context_variant("asp_oc"))
 MODELS.register("ccnet")(_context_variant("cc"))
 MODELS.register("pyramid_ocnet")(_context_variant("pyramid_oc"))
 
@@ -575,6 +574,53 @@ def _segfix_hrnet(cfg) -> nn.Module:
 def _spatial_ocrnet(cfg) -> nn.Module:
     dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
     return SpatialOCRNet(
+        num_classes=cfg.get("data.num_classes"),
+        arch=resolve_arch(
+            cfg.get("network.backbone", default="resnet101_dilated8")),
+        dtype=dtype,
+    )
+
+
+class ASPOCRNet(nn.Module):
+    """Dilated ResNet + probs-conditioned ASP-OCR (reference ASPOCRNet,
+    nets/ocrnet.py:72-117): aux DSN on layer3 (dropout 0.1) feeds
+    SpatialOCR_ASP_Module(2048 -> 256, dilations 12/24/36) on layer4;
+    1x1 head (bias)."""
+
+    num_classes: int
+    arch: str = "resnet101_dilated8"
+    upsample_out: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> dict[str, jnp.ndarray]:
+        from contrastiveseg_tpu.models.ocr import SpatialOCRASP
+
+        in_h, in_w = x.shape[1], x.shape[2]
+        feats = ResNet(RESNET_SPECS[self.arch], dtype=self.dtype, name="backbone")(
+            x.astype(self.dtype), train
+        )
+        c3, c4 = feats[-2], feats[-1]
+        aux = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
+                     name="dsn_conv")(c3, train)
+        aux = nn.Dropout(0.1, deterministic=not train, name="dsn_drop")(aux)
+        aux = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                      name="dsn_cls")(aux.astype(jnp.float32))
+        f = SpatialOCRASP(hidden=256, out_channels=256,
+                          dilations=(12, 24, 36), dtype=self.dtype,
+                          name="asp_ocr")(c4, aux, train)
+        seg = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                      name="cls")(f.astype(jnp.float32))
+        if self.upsample_out:
+            seg = resize_bilinear_align_corners(seg, (in_h, in_w))
+            aux = resize_bilinear_align_corners(aux, (in_h, in_w))
+        return {"seg": seg, "seg_aux": aux}
+
+
+@MODELS.register("spatial_asp_ocrnet")
+def _spatial_asp_ocrnet(cfg) -> nn.Module:
+    dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
+    return ASPOCRNet(
         num_classes=cfg.get("data.num_classes"),
         arch=resolve_arch(
             cfg.get("network.backbone", default="resnet101_dilated8")),

@@ -146,3 +146,46 @@ class SpatialOCR(nn.Module):
                    name="project")(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train, name="drop")(x)
         return x
+
+
+class SpatialOCRASP(nn.Module):
+    """ASPP whose context branch is probs-conditioned fast-OCR attention
+    (SpatialOCR_ASP_Module, spatial_ocr_block.py:329-397): context =
+    conv3x3 -> gather(probs) -> object attention; plus 1x1 and three
+    dilated-3x3 branches; concat [ctx, b0..b3] -> 1x1 project + dropout.
+
+    Distinct from models/attention.ASPOCModule (asp_oc_block.py), whose
+    context is BaseOC self-attention with no probability conditioning —
+    the reference uses *this* module for ASPOCRNet (nets/ocrnet.py:72-117,
+    out 256, dilations 12/24/36) and CE2P_ASPOCR (nets/ce2pnet.py:48-53,
+    out 512, dilations 6/12/18)."""
+
+    hidden: int = 256
+    out_channels: int = 512
+    dilations: tuple = (12, 24, 36)
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, probs: jnp.ndarray,
+                 train: bool) -> jnp.ndarray:
+        f1 = ConvBN(self.hidden, 3, use_relu=True, dtype=self.dtype,
+                    name="context_conv")(x, train)
+        proxy = SpatialGather(name="gather")(f1, probs)
+        ctx = ObjectAttention(self.hidden // 2, dtype=self.dtype,
+                              name="object_attention")(f1, proxy, train)
+        branches = [
+            ctx,
+            ConvBN(self.hidden, 1, use_relu=True, dtype=self.dtype,
+                   name="b0")(x, train),
+        ]
+        for i, r in enumerate(self.dilations):
+            branches.append(
+                ConvBN(self.hidden, 3, dilation=r, use_relu=True,
+                       dtype=self.dtype, name=f"b{i + 1}")(x, train)
+            )
+        out = jnp.concatenate(branches, axis=-1)
+        out = ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
+                     name="project")(out, train)
+        return nn.Dropout(self.dropout, deterministic=not train,
+                          name="drop")(out)

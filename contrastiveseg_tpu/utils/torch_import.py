@@ -181,8 +181,13 @@ def _ocr_distri(sub: tuple[str, ...],
                        f"{base}.conv_bn_dropout.1.0", sub[1:])
     if sub[0] != "object_attention":
         return None
-    ob = f"{base}.object_context_block"
-    s = sub[1:]
+    return _object_attention(f"{base}.object_context_block", sub[1:])
+
+
+def _object_attention(ob: str, s: tuple[str, ...]) -> Optional[TorchKey]:
+    """ObjectAttention (models/ocr.py) -> _ObjectAttentionBlock at torch
+    prefix ``ob``: f_pixel/f_object are Sequentials [conv, BNReLU, conv,
+    BNReLU]; f_down/f_up are [conv, BNReLU]."""
     m = re.fullmatch(r"f_(pixel|object)_(\d)", s[0])
     if m:
         idx = 0 if m.group(2) == "1" else 2
@@ -386,6 +391,93 @@ def segfix_path(path: tuple[str, ...]) -> Optional[TorchKey]:
     return None
 
 
+def _asp_ocr(base: str, sub: tuple[str, ...]) -> Optional[TorchKey]:
+    """SpatialOCRASP (models/ocr.py) -> SpatialOCR_ASP_Module
+    (spatial_ocr_block.py:329-397): context = Sequential(conv3x3, BNReLU,
+    SpatialOCR_Context); conv2..conv5 = the 1x1 + dilated branches;
+    conv_bn_dropout = project.  The gather (object_head) is param-free."""
+    if sub[0] == "context_conv":
+        return _convbn(f"{base}.context.0", f"{base}.context.1.0", sub[1:])
+    if sub[0] == "object_attention":
+        return _object_attention(
+            f"{base}.context.2.object_context_block", sub[1:])
+    m = re.fullmatch(r"b(\d)", sub[0])
+    if m:
+        seq = f"{base}.conv{int(m.group(1)) + 2}"
+        return _convbn(f"{seq}.0", f"{seq}.1.0", sub[1:])
+    if sub[0] == "project":
+        return _convbn(f"{base}.conv_bn_dropout.0",
+                       f"{base}.conv_bn_dropout.1.0", sub[1:])
+    return None
+
+
+def asp_ocrnet_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """ASPOCRNet (models/nets.py) -> reference ASPOCRNet
+    (nets/ocrnet.py:72-117): backbone + asp_ocr_head + head + dsn_head."""
+    if path[0] == "backbone":
+        tk = resnet_backbone_path(path[1:])
+        if tk is not None:
+            tk.key = f"backbone.{tk.key}"
+            if tk.fold_bias_key:
+                tk.fold_bias_key = f"backbone.{tk.fold_bias_key}"
+        return tk
+    if path[0] == "asp_ocr":
+        return _asp_ocr("asp_ocr_head", path[1:])
+    if path[0] == "cls":
+        return _plain_conv("head", path[1:])
+    if path[0] == "dsn_conv":
+        return _convbn("dsn_head.0", "dsn_head.1.0", path[1:])
+    if path[0] == "dsn_cls":
+        return _plain_conv("dsn_head.3", path[1:])
+    return None
+
+
+def ce2p_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """CE2PNet context='asp_ocr' (models/ce2p.py) -> reference CE2P_ASPOCR
+    (nets/ce2pnet.py:19-96): backbone + dsn + edgelayer (Edge_Module) +
+    asp_ocr_head + decoder (CE2P_Decoder_Module) + cls fuse head.
+    (CE2P_OCRNet/CE2P_IdealOCRNet are inexecutable upstream — see
+    models/ce2p.py — so asp_ocr is the only importable variant.)"""
+    if path[0] == "backbone":
+        tk = resnet_backbone_path(path[1:])
+        if tk is not None:
+            tk.key = f"backbone.{tk.key}"
+            if tk.fold_bias_key:
+                tk.fold_bias_key = f"backbone.{tk.fold_bias_key}"
+        return tk
+    if path[0] == "dsn_conv":
+        return _convbn("dsn.0", "dsn.1.0", path[1:])
+    if path[0] == "dsn_cls":
+        return _plain_conv("dsn.3", path[1:])
+    if path[0] == "edge":
+        s = path[1:]
+        m = re.fullmatch(r"conv([123])", s[0])
+        if m:
+            seq = f"edgelayer.conv{m.group(1)}"
+            return _convbn(f"{seq}.0", f"{seq}.1.0", s[1:])
+        if s[0] in ("conv4", "conv5"):
+            return _plain_conv(f"edgelayer.{s[0]}", s[1:])
+        return None
+    if path[0] == "context":
+        return _asp_ocr("asp_ocr_head", path[1:])
+    if path[0] == "decoder":
+        s = path[1:]
+        if s[0] in ("conv1", "conv2"):
+            return _convbn(f"decoder.{s[0]}.0", f"decoder.{s[0]}.1.0", s[1:])
+        if s[0] == "conv3a":
+            return _convbn("decoder.conv3.0", "decoder.conv3.1.0", s[1:])
+        if s[0] == "conv3b":
+            return _convbn("decoder.conv3.2", "decoder.conv3.3.0", s[1:])
+        if s[0] == "conv4":
+            return _plain_conv("decoder.conv4", s[1:])
+        return None
+    if path[0] == "final_conv":
+        return _convbn("cls.0", "cls.1.0", path[1:])
+    if path[0] == "final_cls":
+        return _plain_conv("cls.2", path[1:])
+    return None
+
+
 PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "hrnet_seg": hrnet_seg_path,
     "hrnet_backbone": hrnet_backbone_path,
@@ -396,6 +488,8 @@ PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "fcnet": fcnet_path,
     "spatial_ocrnet": spatial_ocrnet_path,
     "segfix": segfix_path,
+    "asp_ocrnet": asp_ocrnet_path,
+    "ce2p": ce2p_path,
 }
 
 
@@ -413,6 +507,10 @@ def mapper_for_model(model_name: str) -> str:
         return "spatial_ocrnet"
     if model_name.startswith("segfix"):
         return "segfix"
+    if model_name == "spatial_asp_ocrnet":
+        return "asp_ocrnet"
+    if model_name == "ce2p_asp_ocrnet":
+        return "ce2p"
     if model_name.startswith("hrnet"):
         return "hrnet_seg"
     raise KeyError(

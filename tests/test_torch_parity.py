@@ -442,3 +442,89 @@ def test_segfix_forward_parity_eval():
         assert a.shape == b.shape, (key, a.shape, b.shape)
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
         assert err < 2e-3, f"{key}: max rel err {err}"
+
+
+def _randomize_bn_stats(net, seed):
+    g = torch.Generator().manual_seed(seed)
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                m.running_mean.normal_(0, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 2.0, generator=g)
+
+
+def test_asp_ocrnet_forward_parity_eval():
+    """Reference ASPOCRNet (nets/ocrnet.py:72-117) forward parity on
+    imported weights — pins the probs-conditioned SpatialOCR_ASP_Module
+    (context conv + gather + object attention + dilated branches)."""
+    from contrastiveseg_tpu.models.nets import ASPOCRNet
+
+    net = torch_ref.build_asp_ocrnet(
+        num_classes=7, seed=0, backbone="deepbase_resnet50_dilated8")
+    _randomize_bn_stats(net, 17)
+    sd = torch_ref.state_dict_numpy(net)
+
+    model = ASPOCRNet(num_classes=7, arch="deepbase_resnet50_dilated8")
+    rng = jax.random.PRNGKey(0)
+    x = np.random.RandomState(3).randn(1, 65, 65, 3).astype(np.float32)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.asarray(x), train=True)
+    newvars, report = ti.convert_state_dict(variables, sd, "asp_ocrnet")
+    assert report["missing"] == [], report["missing"][:10]
+    assert report["unused"] == [], report["unused"][:10]
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        aux_t, seg_t = net(xt)
+    out_j = model.apply(
+        {"params": newvars["params"], "batch_stats": newvars["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    for key, t in [("seg_aux", aux_t), ("seg", seg_t)]:
+        a = t.numpy()
+        b = np.transpose(np.asarray(out_j[key]), (0, 3, 1, 2))
+        assert a.shape == b.shape, (key, a.shape, b.shape)
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
+        assert err < 2e-3, f"{key}: max rel err {err}"
+
+
+def test_ce2p_asp_ocr_forward_parity_eval():
+    """Reference CE2P_ASPOCR (nets/ce2pnet.py:19-96) forward parity on
+    imported weights — pins the Edge_Module shared conv4, the
+    CE2P_Decoder_Module conv3 stack, the asp-ocr context, and the edge/
+    decoder fuse cls head (LIP human-parsing family)."""
+    from contrastiveseg_tpu.models.ce2p import CE2PNet
+
+    net = torch_ref.build_ce2p_asp_ocr(
+        num_classes=7, seed=0, backbone="deepbase_resnet50_dilated8")
+    _randomize_bn_stats(net, 19)
+    sd = torch_ref.state_dict_numpy(net)
+
+    model = CE2PNet(num_classes=7, context="asp_ocr",
+                    arch="deepbase_resnet50_dilated8")
+    rng = jax.random.PRNGKey(0)
+    x = np.random.RandomState(4).randn(1, 65, 65, 3).astype(np.float32)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.asarray(x), train=True)
+    newvars, report = ti.convert_state_dict(variables, sd, "ce2p")
+    assert report["missing"] == [], report["missing"][:10]
+    assert report["unused"] == [], report["unused"][:10]
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        seg1_t, edge_t, dsn_t, seg2_t = net(xt)
+    out_j = model.apply(
+        {"params": newvars["params"], "batch_stats": newvars["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    # 3e-3 (vs the 2e-3 used elsewhere): seg/seg_final sit at the end of
+    # the longest compound path in the zoo (backbone -> dsn -> gather ->
+    # attention -> decoder -> fuse), and the randomized BN stats amplify
+    # fp32 resize/matmul ordering noise; measured max 2.1e-3.
+    for key, t in [("seg", seg1_t), ("edge", edge_t),
+                   ("seg_aux", dsn_t), ("seg_final", seg2_t)]:
+        a = t.numpy()
+        b = np.transpose(np.asarray(out_j[key]), (0, 3, 1, 2))
+        assert a.shape == b.shape, (key, a.shape, b.shape)
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
+        assert err < 3e-3, f"{key}: max rel err {err}"

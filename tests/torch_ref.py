@@ -346,3 +346,39 @@ def build_segfix_hrnet(seed=0, backbone="hrnet48"):
     net = SegFix_HRNet(c)
     net.eval()
     return net
+
+
+def build_asp_ocrnet(num_classes=19, seed=0,
+                     backbone="deepbase_resnet101_dilated8"):
+    """Reference ASPOCRNet (lib/models/nets/ocrnet.py:72-117), eval."""
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    c = build_configer({"data": {"num_classes": num_classes},
+                        "network": {"backbone": backbone,
+                                    "multi_grid": [1, 1, 1]}})
+    from lib.models.nets.ocrnet import ASPOCRNet
+
+    net = ASPOCRNet(c)
+    net.eval()
+    return net
+
+
+def build_ce2p_asp_ocr(num_classes=20, seed=0,
+                       backbone="deepbase_resnet101_dilated8"):
+    """Reference CE2P_ASPOCR (lib/models/nets/ce2pnet.py:19-96), eval —
+    the only executable CE2P variant (CE2P_OCRNet/CE2P_IdealOCRNet crash
+    on Decoder_Module's signature)."""
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    c = build_configer({"data": {"num_classes": num_classes},
+                        "network": {"backbone": backbone,
+                                    "multi_grid": [1, 1, 1]}})
+    from lib.models.nets.ce2pnet import CE2P_ASPOCR
+
+    net = CE2P_ASPOCR(c)
+    net.eval()
+    return net

@@ -26,11 +26,23 @@ from contrastiveseg_tpu.ops.resize import resize_bilinear_align_corners
 
 
 class SelfAttention2D(nn.Module):
-    """Scaled-dot self-attention over the full map (non-local block)."""
+    """Scaled-dot self-attention over the full map (non-local block).
+
+    Two reference flavors share this module:
+      * ISA's SelfAttentionBlock2D (isa_block.py:10-70): ``w_bn=True`` —
+        bias-free f_value, W = [conv, BNReLU];
+      * BaseOC's _SelfAttentionBlock (base_oc_block.py:24-98):
+        ``w_bn=False`` — biased f_value, W = one zero-init biased conv,
+        and optional ``scale`` max-pool before q/k/v with an
+        align-corners upsample of the context after (used by
+        ASP_OC's BaseOC_Context_Module at sizes=[2]).
+    """
 
     key_channels: int
     value_channels: int
     out_channels: int
+    w_bn: bool = True
+    scale: int = 1
     dtype: Any = jnp.float32
 
     def _double_conv(self, name, x, train):
@@ -44,10 +56,14 @@ class SelfAttention2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        in_h, in_w = x.shape[1], x.shape[2]
+        if self.scale > 1:
+            x = nn.max_pool(x, (self.scale, self.scale),
+                            strides=(self.scale, self.scale))
         B, H, W, C = x.shape
         q = self._double_conv("f_query", x, train).reshape(B, H * W, -1)
         k = self._double_conv("f_key", x, train).reshape(B, H * W, -1)
-        v = nn.Conv(self.value_channels, (1, 1), use_bias=False,
+        v = nn.Conv(self.value_channels, (1, 1), use_bias=not self.w_bn,
                     dtype=self.dtype, name="f_value")(x).reshape(B, H * W, -1)
         sim = jnp.einsum(
             "bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32
@@ -57,9 +73,19 @@ class SelfAttention2D(nn.Module):
             "bnm,bmd->bnd", sim.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         ).astype(x.dtype).reshape(B, H, W, self.value_channels)
-        ctx = nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                      dtype=self.dtype, name="W")(ctx)
-        return ConvBNAct(dtype=self.dtype, name="W_bn")(ctx, train)
+        if self.w_bn:
+            ctx = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                          dtype=self.dtype, name="W")(ctx)
+            ctx = ConvBNAct(dtype=self.dtype, name="W_bn")(ctx, train)
+        else:
+            # zero-init like the reference (base_oc_block.py:74-76): the
+            # attention context starts as an identity-free residual.
+            ctx = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                          kernel_init=nn.initializers.zeros,
+                          dtype=self.dtype, name="W")(ctx)
+        if self.scale > 1:
+            ctx = resize_bilinear_align_corners(ctx, (in_h, in_w))
+        return ctx
 
 
 class ISABlock(nn.Module):
@@ -106,12 +132,16 @@ class ISABlock(nn.Module):
 
 
 class ISAModule(nn.Module):
-    """Parallel ISA blocks over down_factors + concat (isa_block.py:138-188)."""
+    """Parallel ISA blocks + residual concat projection (ISA_Module,
+    isa_block.py:114-148): context = stages(x) (concat if multi-factor,
+    with x lifted by up_conv), then [x, context] -> 1x1 ConvBNReLU ->
+    dropout."""
 
     key_channels: int = 256
     value_channels: int = 512
     out_channels: int = 512
     down_factors: Sequence[tuple[int, int]] = ((8, 8),)
+    dropout: float = 0.05
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -124,7 +154,17 @@ class ISAModule(nn.Module):
                     down_factor=tuple(df), dtype=self.dtype, name=f"isa{i}",
                 )(x, train)
             )
-        return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+        if len(outs) > 1:
+            context = jnp.concatenate(outs, axis=-1)
+            x = ConvBN(len(outs) * self.out_channels, 1, use_relu=True,
+                       dtype=self.dtype, name="up_conv")(x, train)
+        else:
+            context = outs[0]
+        out = ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
+                     name="project")(jnp.concatenate([x, context], axis=-1),
+                                     train)
+        return nn.Dropout(self.dropout, deterministic=not train,
+                          name="drop")(out)
 
 
 class BaseOCModule(nn.Module):
@@ -140,13 +180,36 @@ class BaseOCModule(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         ctx = SelfAttention2D(
             self.key_channels, self.value_channels, self.out_channels,
-            dtype=self.dtype, name="attention",
+            w_bn=False, dtype=self.dtype, name="attention",
         )(x, train)
         out = jnp.concatenate([ctx, x], axis=-1)
         out = ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
                      name="project")(out, train)
         return nn.Dropout(self.dropout, deterministic=not train,
                           name="drop")(out)
+
+
+class BaseOCContextModule(nn.Module):
+    """Context-only BaseOC (BaseOC_Context_Module, base_oc_block.py:161-195):
+    scale-pooled self-attention followed by BN+ReLU + dropout — no conv,
+    no concat with the input (ASP_OC's context branch, sizes=[2])."""
+
+    key_channels: int
+    value_channels: int
+    out_channels: int
+    scale: int = 2
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        ctx = SelfAttention2D(
+            self.key_channels, self.value_channels, self.out_channels,
+            w_bn=False, scale=self.scale, dtype=self.dtype, name="attention",
+        )(x, train)
+        ctx = ConvBNAct(dtype=self.dtype, name="ctx_bn")(ctx, train)
+        return nn.Dropout(self.dropout, deterministic=not train,
+                          name="drop")(ctx)
 
 
 class PyramidOCModule(nn.Module):
@@ -228,33 +291,37 @@ class PSPModule(nn.Module):
 
 
 class ASPOCModule(nn.Module):
-    """ASPP whose image branch is an OC attention context (asp_oc_block.py:21)."""
+    """ASP_OC_Module (asp_oc_block.py:21-75): 5 branches at
+    ``out_features`` channels — a scale-2 BaseOC-context branch + 1x1 +
+    three dilated 3x3 — concat -> 1x1 project to 2*out_features +
+    dropout 0.1.  AspOCNet wraps this behind a 3x3 ConvBN(512)
+    (nets/ocnet.py:80-86)."""
 
-    out_channels: int = 512
+    out_features: int = 256
     rates: Sequence[int] = (12, 24, 36)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        ctx = ConvBN(self.out_channels, 3, use_relu=True, dtype=self.dtype,
+        of = self.out_features
+        ctx = ConvBN(of, 3, use_relu=True, dtype=self.dtype,
                      name="context_conv")(x, train)
-        ctx = BaseOCModule(
-            key_channels=self.out_channels // 2,
-            value_channels=self.out_channels,
-            out_channels=self.out_channels, dtype=self.dtype, name="oc",
+        ctx = BaseOCContextModule(
+            key_channels=of // 2, value_channels=of // 2,
+            out_channels=of, scale=2, dtype=self.dtype, name="oc",
         )(ctx, train)
         branches = [
             ctx,
-            ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
+            ConvBN(of, 1, use_relu=True, dtype=self.dtype,
                    name="b0")(x, train),
         ]
         for i, r in enumerate(self.rates):
             branches.append(
-                ConvBN(self.out_channels, 3, dilation=r, use_relu=True,
+                ConvBN(of, 3, dilation=r, use_relu=True,
                        dtype=self.dtype, name=f"b{i + 1}")(x, train)
             )
         out = jnp.concatenate(branches, axis=-1)
-        out = ConvBN(self.out_channels, 1, use_relu=True, dtype=self.dtype,
+        out = ConvBN(2 * of, 1, use_relu=True, dtype=self.dtype,
                      name="project")(out, train)
         return nn.Dropout(0.1, deterministic=not train, name="drop")(out)
 

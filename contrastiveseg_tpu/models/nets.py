@@ -372,6 +372,8 @@ class ResNetContextNet(nn.Module):
     # (fcnet.py:36-47); the OC/ISA nets use bias=True / 0.05.
     cls_bias: bool = True
     dsn_dropout: float = 0.05
+    # ISA_Module down_factors (the reference's network.factors).
+    isa_factors: tuple = ((8, 8),)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -405,7 +407,12 @@ class ResNetContextNet(nn.Module):
             f = PyramidOCModule(out_channels=512, dtype=self.dtype,
                                 name="context")(f, train)
         elif self.context == "asp_oc":
-            f = ASPOCModule(512, dtype=self.dtype, name="context")(c4, train)
+            # AspOCNet (ocnet.py:80-86): 3x3 ConvBN 2048->512 then
+            # ASP_OC_Module(512, 256) whose project emits 512.
+            f = ConvBN(512, 3, use_relu=True, dtype=self.dtype,
+                       name="conv3x3")(c4, train)
+            f = ASPOCModule(out_features=256, dtype=self.dtype,
+                            name="context")(f, train)
         elif self.context == "psp":
             f = PSPModule(512, dtype=self.dtype, name="context")(c4, train)
         elif self.context == "cc":
@@ -419,8 +426,9 @@ class ResNetContextNet(nn.Module):
                 f = BaseOCModule(out_channels=512, dtype=self.dtype,
                                  name="context")(f, train)
             elif self.context == "isa":
-                f = ISAModule(out_channels=512, dtype=self.dtype,
-                              name="context")(f, train)
+                f = ISAModule(out_channels=512,
+                              down_factors=self.isa_factors,
+                              dtype=self.dtype, name="context")(f, train)
             else:  # plain dilated FCN head
                 f = nn.Dropout(0.1, deterministic=not train,
                                name="fcn_drop")(f)
@@ -440,13 +448,18 @@ class ResNetContextNet(nn.Module):
 def _context_variant(context: str, **defaults):
     def build(cfg) -> nn.Module:
         dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
+        kw = dict(defaults)
+        if context == "isa":
+            # ISANet reads network.factors (isanet.py:22-28).
+            factors = cfg.get("network.factors", default=None) or [[8, 8]]
+            kw["isa_factors"] = tuple(tuple(f) for f in factors)
         return ResNetContextNet(
             num_classes=cfg.get("data.num_classes"),
             context=context,
             arch=resolve_arch(
                 cfg.get("network.backbone", default="resnet101_dilated8")),
             dtype=dtype,
-            **defaults,
+            **kw,
         )
 
     return build
@@ -458,8 +471,10 @@ MODELS.register("fcnet")(
 # unlike FcnNet's (fcnet.py:40 bias=False).
 MODELS.register("fcnet_wo_dsn")(
     _context_variant("none", with_aux=False, cls_bias=True))
-MODELS.register("base_ocnet")(_context_variant("base_oc"))
-MODELS.register("asp_ocnet")(_context_variant("asp_oc"))
+# base/asp OCNet dsn heads have no dropout (ocnet.py:47-51,87-91);
+# isanet keeps the 0.05 default (isanet.py:31-35).
+MODELS.register("base_ocnet")(_context_variant("base_oc", dsn_dropout=0.0))
+MODELS.register("asp_ocnet")(_context_variant("asp_oc", dsn_dropout=0.0))
 MODELS.register("isanet")(_context_variant("isa"))
 MODELS.register("pspnet")(_context_variant("psp"))
 MODELS.register("ccnet")(_context_variant("cc"))

@@ -163,10 +163,15 @@ def _proj_head(sub: tuple[str, ...]) -> Optional[TorchKey]:
     return None
 
 
-def _bnact(base_bn: str, sub: tuple[str, ...]) -> Optional[TorchKey]:
-    """ConvBNAct/TorchBatchNorm leaf ('bn','bn',leaf) -> a torch BN."""
+def _bnact(base_bn: str, sub: tuple[str, ...],
+           fold_conv: Optional[str] = None) -> Optional[TorchKey]:
+    """ConvBNAct/TorchBatchNorm leaf ('bn','bn',leaf) -> a torch BN.
+    ``fold_conv``: torch conv prefix whose bias folds into running_mean
+    (for biased torch convs our bias-free flax convs mirror)."""
     if len(sub) == 3 and sub[:2] == ("bn", "bn"):
-        return TorchKey(f"{base_bn}.{_BN_LEAF[sub[2]]}")
+        fold = (f"{fold_conv}.bias"
+                if fold_conv is not None and sub[2] == "mean" else None)
+        return TorchKey(f"{base_bn}.{_BN_LEAF[sub[2]]}", fold_bias_key=fold)
     return None
 
 
@@ -391,6 +396,34 @@ def segfix_path(path: tuple[str, ...]) -> Optional[TorchKey]:
     return None
 
 
+def _self_attention(base: str, s: tuple[str, ...],
+                    w_bn: bool = True) -> Optional[TorchKey]:
+    """SelfAttention2D (models/attention.py) -> torch _SelfAttentionBlock:
+    f_query/f_key are Sequentials [conv, BNReLU, conv, BNReLU]; f_value
+    is a plain conv; W is [conv, BNReLU] (ISA flavor, ``w_bn``) or one
+    plain conv (BaseOC flavor)."""
+    m = re.fullmatch(r"f_(query|key)_(\d)", s[0])
+    if m:
+        idx = 0 if m.group(2) == "1" else 2
+        return _plain_conv(f"{base}.f_{m.group(1)}.{idx}", s[1:])
+    m = re.fullmatch(r"f_(query|key)_bn(\d)", s[0])
+    if m:
+        idx = 1 if m.group(2) == "1" else 3
+        # BaseOC's f_query/f_key convs are biased (base_oc_block.py:54-69,
+        # no bias= arg) -> fold into the BN; ISA's are bias=False.
+        fold = (None if w_bn
+                else f"{base}.f_{m.group(1)}.{idx - 1}")
+        return _bnact(f"{base}.f_{m.group(1)}.{idx}.0", s[1:],
+                      fold_conv=fold)
+    if s[0] == "f_value":
+        return _plain_conv(f"{base}.f_value", s[1:])
+    if s[0] == "W":
+        return _plain_conv(f"{base}.W.0" if w_bn else f"{base}.W", s[1:])
+    if s[0] == "W_bn":
+        return _bnact(f"{base}.W.1.0", s[1:]) if w_bn else None
+    return None
+
+
 def _asp_ocr(base: str, sub: tuple[str, ...]) -> Optional[TorchKey]:
     """SpatialOCRASP (models/ocr.py) -> SpatialOCR_ASP_Module
     (spatial_ocr_block.py:329-397): context = Sequential(conv3x3, BNReLU,
@@ -478,6 +511,112 @@ def ce2p_path(path: tuple[str, ...]) -> Optional[TorchKey]:
     return None
 
 
+def _resnet_backbone_prefixed(path: tuple[str, ...]) -> Optional[TorchKey]:
+    tk = resnet_backbone_path(path)
+    if tk is not None:
+        tk.key = f"backbone.{tk.key}"
+        if tk.fold_bias_key:
+            tk.fold_bias_key = f"backbone.{tk.fold_bias_key}"
+    return tk
+
+
+def base_ocnet_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """ResNetContextNet context='base_oc' -> reference BaseOCNet
+    (nets/ocnet.py:18-62): oc_module_pre + BaseOC_Module (one stage,
+    concat-with-input project) + cls + dropout-free dsn."""
+    if path[0] == "backbone":
+        return _resnet_backbone_prefixed(path[1:])
+    if path[0] == "conv3x3":
+        return _convbn("oc_module_pre.0", "oc_module_pre.1.0", path[1:])
+    if path[0] == "context":
+        s = path[1:]
+        if s[0] == "attention":
+            return _self_attention("oc_module.stages.0", s[1:], w_bn=False)
+        if s[0] == "project":
+            return _convbn("oc_module.conv_bn_dropout.0",
+                           "oc_module.conv_bn_dropout.1.0", s[1:])
+        return None
+    if path[0] == "cls":
+        return _plain_conv("cls", path[1:])
+    if path[0] == "dsn_conv":
+        return _convbn("dsn.0", "dsn.1.0", path[1:])
+    if path[0] == "dsn_cls":
+        return _plain_conv("dsn.2", path[1:])
+    return None
+
+
+def asp_ocnet_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """ResNetContextNet context='asp_oc' -> reference AspOCNet
+    (nets/ocnet.py:64-100): context = Sequential(conv3x3, BNReLU,
+    ASP_OC_Module) with a scale-2 BaseOC_Context branch."""
+    if path[0] == "backbone":
+        return _resnet_backbone_prefixed(path[1:])
+    if path[0] == "conv3x3":
+        return _convbn("context.0", "context.1.0", path[1:])
+    if path[0] == "context":
+        s = path[1:]
+        asp = "context.2"
+        if s[0] == "context_conv":
+            return _convbn(f"{asp}.context.0", f"{asp}.context.1.0", s[1:])
+        if s[0] == "oc":
+            t = s[1:]
+            ctx = f"{asp}.context.2"
+            if t[0] == "attention":
+                return _self_attention(f"{ctx}.stages.0", t[1:], w_bn=False)
+            if t[0] == "ctx_bn":
+                return _bnact(f"{ctx}.conv_bn_dropout.0.0", t[1:])
+            return None
+        m = re.fullmatch(r"b(\d)", s[0])
+        if m:
+            seq = f"{asp}.conv{int(m.group(1)) + 2}"
+            return _convbn(f"{seq}.0", f"{seq}.1.0", s[1:])
+        if s[0] == "project":
+            return _convbn(f"{asp}.conv_bn_dropout.0",
+                           f"{asp}.conv_bn_dropout.1.0", s[1:])
+        return None
+    if path[0] == "cls":
+        return _plain_conv("cls", path[1:])
+    if path[0] == "dsn_conv":
+        return _convbn("dsn.0", "dsn.1.0", path[1:])
+    if path[0] == "dsn_cls":
+        return _plain_conv("dsn.2", path[1:])
+    return None
+
+
+def isanet_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """ResNetContextNet context='isa' -> reference ISANet
+    (nets/isanet.py:9-48): isa_head = Sequential(conv3x3, BNReLU,
+    ISA_Module) whose blocks hold long/short-range SelfAttentionBlock2D
+    twins; residual project = conv_bn."""
+    if path[0] == "backbone":
+        return _resnet_backbone_prefixed(path[1:])
+    if path[0] == "conv3x3":
+        return _convbn("isa_head.0", "isa_head.1.0", path[1:])
+    if path[0] == "context":
+        s = path[1:]
+        isa = "isa_head.2"
+        m = re.fullmatch(r"isa(\d+)", s[0])
+        if m:
+            blk = f"{isa}.stages.{m.group(1)}"
+            if s[1] == "long_range":
+                return _self_attention(f"{blk}.long_range_sa", s[2:])
+            if s[1] == "short_range":
+                return _self_attention(f"{blk}.short_range_sa", s[2:])
+            return None
+        if s[0] == "up_conv":
+            return _convbn(f"{isa}.up_conv.0", f"{isa}.up_conv.1.0", s[1:])
+        if s[0] == "project":
+            return _convbn(f"{isa}.conv_bn.0", f"{isa}.conv_bn.1.0", s[1:])
+        return None
+    if path[0] == "cls":
+        return _plain_conv("cls_head", path[1:])
+    if path[0] == "dsn_conv":
+        return _convbn("dsn_head.0", "dsn_head.1.0", path[1:])
+    if path[0] == "dsn_cls":
+        return _plain_conv("dsn_head.3", path[1:])
+    return None
+
+
 PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "hrnet_seg": hrnet_seg_path,
     "hrnet_backbone": hrnet_backbone_path,
@@ -490,6 +629,9 @@ PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "segfix": segfix_path,
     "asp_ocrnet": asp_ocrnet_path,
     "ce2p": ce2p_path,
+    "base_ocnet": base_ocnet_path,
+    "asp_ocnet": asp_ocnet_path,
+    "isanet": isanet_path,
 }
 
 
@@ -511,6 +653,8 @@ def mapper_for_model(model_name: str) -> str:
         return "asp_ocrnet"
     if model_name == "ce2p_asp_ocrnet":
         return "ce2p"
+    if model_name in ("base_ocnet", "asp_ocnet", "isanet"):
+        return model_name
     if model_name.startswith("hrnet"):
         return "hrnet_seg"
     raise KeyError(

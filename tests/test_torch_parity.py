@@ -528,3 +528,48 @@ def test_ce2p_asp_ocr_forward_parity_eval():
         assert a.shape == b.shape, (key, a.shape, b.shape)
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
         assert err < 3e-3, f"{key}: max rel err {err}"
+
+
+@pytest.mark.parametrize("name", ["base_ocnet", "asp_ocnet", "isanet"])
+def test_oc_family_forward_parity_eval(name):
+    """BaseOCNet / AspOCNet / ISANet (nets/{ocnet,isanet}.py) forward
+    parity on imported weights — pins the BaseOC self-attention flavor
+    (biased plain W, scale-2 context pooling), the ASP_OC 256-wide
+    branches with the 512-wide project, and ISA's residual concat
+    projection."""
+    from contrastiveseg_tpu.models.nets import ResNetContextNet
+
+    context = {"base_ocnet": "base_oc", "asp_ocnet": "asp_oc",
+               "isanet": "isa"}[name]
+    dsn_dropout = 0.05 if name == "isanet" else 0.0
+    net = torch_ref.build_oc_family(
+        name, num_classes=7, seed=0, backbone="deepbase_resnet50_dilated8")
+    _randomize_bn_stats(net, 23)
+    sd = torch_ref.state_dict_numpy(net)
+
+    model = ResNetContextNet(num_classes=7, context=context,
+                             arch="deepbase_resnet50_dilated8",
+                             dsn_dropout=dsn_dropout)
+    rng = jax.random.PRNGKey(0)
+    # 65x65 for maxpool floor/ceil agreement (9x9 stride-8 maps) — this
+    # also exercises the scale-2 pool's floor and the ISA padding path.
+    x = np.random.RandomState(5).randn(1, 65, 65, 3).astype(np.float32)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.asarray(x), train=True)
+    newvars, report = ti.convert_state_dict(variables, sd, name)
+    assert report["missing"] == [], report["missing"][:10]
+    assert report["unused"] == [], report["unused"][:10]
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        aux_t, seg_t = net(xt)
+    out_j = model.apply(
+        {"params": newvars["params"], "batch_stats": newvars["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    for key, t in [("seg_aux", aux_t), ("seg", seg_t)]:
+        a = t.numpy()
+        b = np.transpose(np.asarray(out_j[key]), (0, 3, 1, 2))
+        assert a.shape == b.shape, (key, a.shape, b.shape)
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
+        assert err < 2e-3, f"{name}/{key}: max rel err {err}"

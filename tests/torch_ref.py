@@ -382,3 +382,30 @@ def build_ce2p_asp_ocr(num_classes=20, seed=0,
     net = CE2P_ASPOCR(c)
     net.eval()
     return net
+
+
+def build_oc_family(model, num_classes=19, seed=0,
+                    backbone="deepbase_resnet101_dilated8",
+                    factors=((8, 8),)):
+    """Reference BaseOCNet / AspOCNet (nets/ocnet.py) / ISANet
+    (nets/isanet.py), eval."""
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    c = build_configer({"data": {"num_classes": num_classes},
+                        "network": {"backbone": backbone,
+                                    "multi_grid": [1, 1, 1],
+                                    "factors": [list(f) for f in factors]}})
+    if model == "base_ocnet":
+        from lib.models.nets.ocnet import BaseOCNet as Net
+    elif model == "asp_ocnet":
+        from lib.models.nets.ocnet import AspOCNet as Net
+    elif model == "isanet":
+        from lib.models.nets.isanet import ISANet as Net
+    else:
+        raise KeyError(model)
+
+    net = Net(c)
+    net.eval()
+    return net

@@ -14,6 +14,7 @@ Output contract mirrors the reference nets (lib/models/nets/hrnet.py):
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import jax
@@ -902,9 +903,71 @@ MODELS.register("setr_pup")(_setr_variant("pup"))
 MODELS.register("setr_mla")(_setr_variant("mla"))
 
 
+class FPNSemanticDecoder(nn.Module):
+    """mmseg-style FPN neck + SemanticFPN decoder, structurally faithful
+    to the reference (nets/semantic_fpn.py:11-206): plain biased 1x1
+    lateral convs, NEAREST top-down sum, plain 3x3 fpn convs; then
+    per-level scale heads (ConvBNReLU x log2(stride/4), each followed by
+    a x2 half-pixel bilinear upsample on the coarser levels) summed at
+    stride 4, and a 1x1 cls.  Takes the 4-scale feature list; returns
+    stride-4 logits."""
+
+    num_classes: int
+    fpn_dim: int = 256
+    channels: int = 128
+    feature_strides: tuple = (4, 8, 16, 32)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = True) -> jnp.ndarray:
+        from contrastiveseg_tpu.ops.resize import (
+            resize_bilinear_half_pixel,
+            resize_nearest,
+        )
+
+        laterals = [
+            nn.Conv(self.fpn_dim, (1, 1), use_bias=True, dtype=self.dtype,
+                    name=f"lateral{i}")(f)
+            for i, f in enumerate(feats)
+        ]
+        for i in range(len(laterals) - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + resize_nearest(
+                laterals[i],
+                (laterals[i - 1].shape[1], laterals[i - 1].shape[2]),
+            )
+        outs = [
+            nn.Conv(self.fpn_dim, (3, 3), padding=1, use_bias=True,
+                    dtype=self.dtype, name=f"fpn_conv{i}")(laterals[i])
+            for i in range(len(laterals))
+        ]
+        s0 = self.feature_strides[0]
+        merged = None
+        for i, s in enumerate(self.feature_strides):
+            f = outs[i]
+            head_length = max(1, int(math.log2(s) - math.log2(s0)))
+            for k in range(head_length):
+                f = ConvBN(self.channels, 3, use_relu=True, dtype=self.dtype,
+                           name=f"scale_head{i}_{k}")(f, train)
+                if s != s0:
+                    f = resize_bilinear_half_pixel(
+                        f, (f.shape[1] * 2, f.shape[2] * 2))
+            if merged is None:
+                merged = f
+            else:
+                merged = merged + resize_bilinear_half_pixel(
+                    f, (merged.shape[1], merged.shape[2]))
+        seg = nn.Conv(self.num_classes, (1, 1), use_bias=True,
+                      dtype=jnp.float32, name="cls")(
+            merged.astype(jnp.float32))
+        return seg
+
+
 class PyramidSegNet(nn.Module):
-    """Semantic-FPN-style decoder over a 4-scale pyramid backbone
-    (PVT/SVT/HRNet) — reference nets/semantic_fpn.py:11-206."""
+    """Semantic-FPN over a 4-scale pyramid backbone (PVT/SVT/HRNet) —
+    reference SemanticFPN (nets/semantic_fpn.py:190-206).  Divergence:
+    the reference returns stride-4 logits and lets the loss upsample;
+    we upsample to the input here to keep the package-wide output
+    contract."""
 
     num_classes: int
     backbone: str = "pvt_small"
@@ -919,29 +982,9 @@ class PyramidSegNet(nn.Module):
         feats = build_backbone(self.backbone, dtype=self.dtype)(
             x.astype(self.dtype), train
         )
-        # Top-down FPN with 1x1 laterals + upsample-sum.
-        laterals = [
-            ConvBN(self.fpn_dim, 1, use_relu=True, dtype=self.dtype,
-                   name=f"lateral{i}")(f, train)
-            for i, f in enumerate(feats)
-        ]
-        for i in range(len(laterals) - 2, -1, -1):
-            up = resize_bilinear_align_corners(
-                laterals[i + 1],
-                (laterals[i].shape[1], laterals[i].shape[2]), fast=True,
-            )
-            laterals[i] = laterals[i] + up
-        h, w = laterals[0].shape[1], laterals[0].shape[2]
-        merged = sum(
-            resize_bilinear_align_corners(
-                ConvBN(128, 3, use_relu=True, dtype=self.dtype,
-                       name=f"fpn_out{i}")(f, train),
-                (h, w), fast=True,
-            )
-            for i, f in enumerate(laterals)
-        )
-        seg = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
-                      name="cls")(merged.astype(jnp.float32))
+        seg = FPNSemanticDecoder(self.num_classes, fpn_dim=self.fpn_dim,
+                                 dtype=self.dtype, name="decoder")(
+            feats, train)
         seg = resize_bilinear_align_corners(seg, (in_h, in_w))
         return {"seg": seg}
 

@@ -617,6 +617,31 @@ def isanet_path(path: tuple[str, ...]) -> Optional[TorchKey]:
     return None
 
 
+def semantic_fpn_decoder_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """FPNSemanticDecoder (models/nets.py) -> reference SemanticFPN's
+    neck (FPN) + decoder (SemanticFPNDecoder) (nets/semantic_fpn.py:
+    11-206).  Scale-head Sequential indices: [conv, BNReLU(, Upsample)]
+    per sub-stage, so conv k sits at 3k on upsampled levels and 2k on
+    the stride-4 level.  (Backbone import is separate — reference PVT
+    checkpoints are timm-format.)"""
+    s = path[1:] if path[0] == "decoder" else path
+    m = re.fullmatch(r"lateral(\d)", s[0])
+    if m:
+        return _plain_conv(f"neck.lateral_convs.{m.group(1)}", s[1:])
+    m = re.fullmatch(r"fpn_conv(\d)", s[0])
+    if m:
+        return _plain_conv(f"neck.fpn_convs.{m.group(1)}", s[1:])
+    m = re.fullmatch(r"scale_head(\d)_(\d)", s[0])
+    if m:
+        i, k = int(m.group(1)), int(m.group(2))
+        idx = 3 * k if i > 0 else 2 * k
+        base = f"decoder.scale_heads.{i}.{idx}"
+        return _convbn(base, f"decoder.scale_heads.{i}.{idx + 1}.0", s[1:])
+    if s[0] == "cls":
+        return _plain_conv("decoder.cls_seg", s[1:])
+    return None
+
+
 PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "hrnet_seg": hrnet_seg_path,
     "hrnet_backbone": hrnet_backbone_path,
@@ -632,6 +657,7 @@ PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "base_ocnet": base_ocnet_path,
     "asp_ocnet": asp_ocnet_path,
     "isanet": isanet_path,
+    "semantic_fpn_decoder": semantic_fpn_decoder_path,
 }
 
 

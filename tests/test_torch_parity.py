@@ -573,3 +573,42 @@ def test_oc_family_forward_parity_eval(name):
         assert a.shape == b.shape, (key, a.shape, b.shape)
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
         assert err < 2e-3, f"{name}/{key}: max rel err {err}"
+
+
+def test_semantic_fpn_head_forward_parity_eval():
+    """FPN neck + SemanticFPNDecoder (nets/semantic_fpn.py:11-206)
+    forward parity on imported weights with synthetic 4-scale features —
+    pins the nearest top-down sum, the per-stride scale-head depths, the
+    half-pixel x2 upsamples, and the plain (bias) lateral/fpn convs."""
+    from contrastiveseg_tpu.models.nets import FPNSemanticDecoder
+
+    net = torch_ref.build_semantic_fpn_head(num_classes=7, seed=0)
+    _randomize_bn_stats(net, 29)
+    sd = torch_ref.state_dict_numpy(net)
+
+    model = FPNSemanticDecoder(num_classes=7)
+    rng = jax.random.PRNGKey(0)
+    rs = np.random.RandomState(6)
+    dims = [64, 128, 320, 512]
+    feats = [rs.randn(1, 16 // (1 << i), 16 // (1 << i), d)
+             .astype(np.float32) for i, d in enumerate(dims)]
+    feats_j = [jnp.asarray(f) for f in feats]
+    variables = model.init({"params": rng, "dropout": rng}, feats_j,
+                           train=True)
+    newvars, report = ti.convert_state_dict(variables, sd,
+                                            "semantic_fpn_decoder")
+    assert report["missing"] == [], report["missing"][:10]
+    assert report["unused"] == [], report["unused"][:10]
+
+    feats_t = [torch.from_numpy(np.transpose(f, (0, 3, 1, 2)))
+               for f in feats]
+    with torch.no_grad():
+        out_t = net(feats_t).numpy()
+    out_j = model.apply(
+        {"params": newvars["params"], "batch_stats": newvars["batch_stats"]},
+        feats_j, train=False,
+    )
+    b = np.transpose(np.asarray(out_j), (0, 3, 1, 2))
+    assert out_t.shape == b.shape, (out_t.shape, b.shape)
+    err = np.abs(out_t - b).max() / max(np.abs(out_t).max(), 1.0)
+    assert err < 2e-3, f"max rel err {err}"

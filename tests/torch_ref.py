@@ -409,3 +409,31 @@ def build_oc_family(model, num_classes=19, seed=0,
     net = Net(c)
     net.eval()
     return net
+
+
+def build_semantic_fpn_head(num_classes=19, seed=0):
+    """Reference FPN neck + SemanticFPNDecoder (nets/semantic_fpn.py),
+    assembled standalone (the full SemanticFPN needs a PVT backbone whose
+    checkpoints are timm-format; the neck+decoder is the reference-owned
+    part).  Returns an eval nn.Module with .neck/.decoder submodules."""
+    import torch
+    import torch.nn as nn
+
+    setup_reference()
+    torch.manual_seed(seed)
+    from lib.models.nets.semantic_fpn import FPN, SemanticFPNDecoder
+
+    class Head(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.neck = FPN(in_channels=[64, 128, 320, 512],
+                            out_channels=256)
+            self.decoder = SemanticFPNDecoder(
+                feature_strides=[4, 8, 16, 32], num_classes=num_classes)
+
+        def forward(self, feats):
+            return self.decoder(self.neck(feats))
+
+    net = Head()
+    net.eval()
+    return net

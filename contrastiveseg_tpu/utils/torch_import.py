@@ -671,7 +671,10 @@ def mapper_for_model(model_name: str) -> str:
         return "deeplab"
     if model_name.startswith("fcnet"):
         return "fcnet"
-    if model_name == "spatial_ocrnet":
+    if model_name == "spatial_ocrnet" or model_name.startswith("ideal_"):
+        # The ideal_* oracle nets share SpatialOCRNet's exact param layout
+        # (ideal_ocrnet.py:19-263: conv_3x3 / spatial_ocr_head / head /
+        # dsn_head; f_pixel/f_object exist even on the use_gt paths).
         return "spatial_ocrnet"
     if model_name.startswith("segfix"):
         return "segfix"

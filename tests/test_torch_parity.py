@@ -612,3 +612,46 @@ def test_semantic_fpn_head_forward_parity_eval():
     assert out_t.shape == b.shape, (out_t.shape, b.shape)
     err = np.abs(out_t - b).max() / max(np.abs(out_t).max(), 1.0)
     assert err < 2e-3, f"max rel err {err}"
+
+
+@pytest.mark.parametrize(
+    "variant", ["spatial", "spatial_b", "spatial_c", "gather", "distribute"])
+def test_ideal_ocrnet_forward_parity_eval(variant):
+    """Ideal*OCRNet oracle nets (nets/ideal_ocrnet.py:19-263) forward
+    parity on imported weights + a ground-truth label map — pins the GT
+    gather normalization (K+1 ignore bucket), the GT-similarity
+    distribute, the background-context twin (spatial_b/c), and that the
+    oracle family shares SpatialOCRNet's param layout."""
+    from contrastiveseg_tpu.models.nets import IdealSpatialOCRNet
+
+    net = torch_ref.build_ideal_ocrnet(variant, num_classes=7, seed=0)
+    _randomize_bn_stats(net, 31)
+    sd = torch_ref.state_dict_numpy(net)
+
+    model = IdealSpatialOCRNet(num_classes=7, variant=variant,
+                               arch="deepbase_resnet50_dilated8")
+    rng = jax.random.PRNGKey(0)
+    rs = np.random.RandomState(7)
+    x = rs.randn(1, 65, 65, 3).astype(np.float32)
+    labels = rs.randint(-1, 7, size=(1, 65, 65)).astype(np.int32)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.asarray(x), gt_labels=jnp.asarray(labels),
+                           train=True)
+    newvars, report = ti.convert_state_dict(variables, sd, "spatial_ocrnet")
+    assert report["missing"] == [], report["missing"][:10]
+    assert report["unused"] == [], report["unused"][:10]
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    lt = torch.from_numpy(labels).long()
+    with torch.no_grad():
+        aux_t, seg_t = net(xt, lt)
+    out_j = model.apply(
+        {"params": newvars["params"], "batch_stats": newvars["batch_stats"]},
+        jnp.asarray(x), gt_labels=jnp.asarray(labels), train=False,
+    )
+    for key, t in [("seg_aux", aux_t), ("seg", seg_t)]:
+        a = t.numpy()
+        b = np.transpose(np.asarray(out_j[key]), (0, 3, 1, 2))
+        assert a.shape == b.shape, (key, a.shape, b.shape)
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
+        assert err < 2e-3, f"{variant}/{key}: max rel err {err}"

@@ -437,3 +437,45 @@ def build_semantic_fpn_head(num_classes=19, seed=0):
     net = Head()
     net.eval()
     return net
+
+
+def build_ideal_ocrnet(variant, num_classes=7, seed=0,
+                       backbone="deepbase_resnet50_dilated8"):
+    """Reference Ideal*OCRNet oracle nets (nets/ideal_ocrnet.py:19-263),
+    eval.  Their forwards hardcode ``.type(torch.cuda.FloatTensor)`` on
+    the label map; on CPU we alias it to the CPU FloatTensor."""
+    import torch
+
+    setup_reference()
+    if not torch.cuda.is_available():
+        torch.cuda.FloatTensor = torch.FloatTensor
+        torch.cuda.LongTensor = torch.LongTensor
+        # label_to_onehot hard-calls .cuda() (spatial_ocr_block.py:30);
+        # swap in a CPU-equivalent (clone instead of the in-place ignore
+        # rewrite — outputs identical).
+        from lib.models.modules import spatial_ocr_block as sob
+
+        def _label_to_onehot_cpu(gt, num_classes, ignore_index=-1):
+            x = gt.clone()
+            x[x == ignore_index] = num_classes
+            onehot = torch.zeros(*x.shape, num_classes + 1)
+            onehot = onehot.scatter_(-1, x.unsqueeze(-1), 1)
+            return onehot.permute(0, 3, 1, 2)
+
+        sob.label_to_onehot = _label_to_onehot_cpu
+    torch.manual_seed(seed)
+    c = build_configer({"data": {"num_classes": num_classes},
+                        "network": {"backbone": backbone,
+                                    "multi_grid": [1, 1, 1]}})
+    from lib.models.nets import ideal_ocrnet
+
+    cls = {
+        "spatial": ideal_ocrnet.IdealSpatialOCRNet,
+        "spatial_b": ideal_ocrnet.IdealSpatialOCRNetB,
+        "spatial_c": ideal_ocrnet.IdealSpatialOCRNetC,
+        "gather": ideal_ocrnet.IdealGatherOCRNet,
+        "distribute": ideal_ocrnet.IdealDistributeOCRNet,
+    }[variant]
+    net = cls(c)
+    net.eval()
+    return net

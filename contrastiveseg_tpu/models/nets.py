@@ -130,6 +130,9 @@ class HRNetOCRSeg(nn.Module):
     proj_dim: int = 256
     mid_channels: int = 512
     key_channels: int = 256
+    # aux 3x3 width: the 720-ch concat for OCR/OCR_CONTRAST
+    # (hrnet.py:121-125, in->in) but 256 for OCR_B (hrnet.py:271-274).
+    aux_channels: int | None = None
     upsample_out: bool = True
     # HANet height attention per branch before fusion (hrnet_w48_ocr_b_ha,
     # nets/hrnet.py:301-365; see HANetConv for the reference-bug note).
@@ -160,8 +163,8 @@ class HRNetOCRSeg(nn.Module):
         )
         out: dict[str, jnp.ndarray] = {}
         # Aux head: 3x3 conv + BNReLU + 1x1 (nets/hrnet.py:121-125).
-        aux = ConvBN(cat.shape[-1], 3, use_relu=True, dtype=self.dtype,
-                     name="aux_conv")(cat, train)
+        aux = ConvBN(self.aux_channels or cat.shape[-1], 3, use_relu=True,
+                     dtype=self.dtype, name="aux_conv")(cat, train)
         aux = nn.Conv(self.num_classes, (1, 1), use_bias=True,
                       dtype=jnp.float32, name="aux_cls")(aux.astype(jnp.float32))
         if self.with_proj:
@@ -345,12 +348,13 @@ for _w in (18, 32, 48, 64):
     )
     # OCR "B": cheaper 256-ch head, 128 key channels (nets/hrnet.py:249-299).
     MODELS.register(f"hrnet_w{_w}_ocr_b")(
-        _hrnet_ocr_variant(f"hrnet{_w}", mid_channels=256, key_channels=128)
+        _hrnet_ocr_variant(f"hrnet{_w}", mid_channels=256, key_channels=128,
+                           aux_channels=256)
     )
     # + HANet height attention (nets/hrnet.py:301-365, model_manager.py:81).
     MODELS.register(f"hrnet_w{_w}_ocr_b_ha")(
         _hrnet_ocr_variant(f"hrnet{_w}", mid_channels=256, key_channels=128,
-                           height_attention=True)
+                           aux_channels=256, height_attention=True)
     )
 
 

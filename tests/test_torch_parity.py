@@ -655,3 +655,46 @@ def test_ideal_ocrnet_forward_parity_eval(variant):
         assert a.shape == b.shape, (key, a.shape, b.shape)
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
         assert err < 2e-3, f"{variant}/{key}: max rel err {err}"
+
+
+def test_hrnet_ocr_b_forward_parity_eval():
+    """HRNet_W48_OCR_B (hrnet.py:248-293) forward parity on imported
+    weights through the shared 'hrnet_ocr' mapper — pins the 256-wide
+    (key 128) OCR head variant's widths and the aux_head Sequential."""
+    from contrastiveseg_tpu.models import build_model
+    from contrastiveseg_tpu.utils.config import Config
+
+    net = torch_ref.build_hrnet_ocr_b(num_classes=7, seed=0)
+    _randomize_bn_stats(net, 37)
+    sd = torch_ref.state_dict_numpy(net)
+
+    cfg = Config.from_args(overrides=["network.model_name=hrnet_w48_ocr_b",
+                                      "data.num_classes=7"])
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = np.random.RandomState(8).randn(1, 64, 64, 3).astype(np.float32)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.asarray(x), train=True)
+    newvars, report = ti.convert_state_dict(variables, sd, "hrnet_ocr")
+    assert report["missing"] == [], report["missing"][:10]
+    assert report["unused"] == [], report["unused"][:10]
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        out_t = net(xt)
+    aux_t, seg_t = out_t[0], out_t[1]
+    out_j = model.apply(
+        {"params": newvars["params"], "batch_stats": newvars["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    for key, t in [("seg_aux", aux_t), ("seg", seg_t)]:
+        a = t.numpy()
+        b = np.transpose(np.asarray(out_j[key]), (0, 3, 1, 2))
+        if a.shape[2] != b.shape[2]:
+            # the reference returns stride-4 logits here; compare at the
+            # common (upsampled) resolution
+            a = torch.nn.functional.interpolate(
+                torch.from_numpy(a), size=b.shape[2:], mode="bilinear",
+                align_corners=True).numpy()
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
+        assert err < 2e-3, f"{key}: max rel err {err}"

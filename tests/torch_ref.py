@@ -479,3 +479,18 @@ def build_ideal_ocrnet(variant, num_classes=7, seed=0,
     net = cls(c)
     net.eval()
     return net
+
+
+def build_hrnet_ocr_b(num_classes=19, seed=0):
+    """Reference HRNet_W48_OCR_B (lib/models/nets/hrnet.py:248-293):
+    the 256-wide OCR head variant."""
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    c = build_configer({"data": {"num_classes": num_classes}})
+    from lib.models.nets.hrnet import HRNet_W48_OCR_B
+
+    net = HRNet_W48_OCR_B(c)
+    net.eval()
+    return net

@@ -10,6 +10,7 @@ step (engine/train_step.py); the host loop only feeds data and logs.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional
 
@@ -80,6 +81,24 @@ class Trainer:
                 cfg.get("contrast.memory_size", default=5000),
                 cfg.get("contrast.proj_dim", default=256),
             )
+            # A torch-imported HRNet_W48_MEM checkpoint carries its queue
+            # buffers in a sidecar written by tools/import_torch_ckpt.py;
+            # seed the bank from it so mem-training resumes coherently.
+            qpath = f"{pretrained}.queues.msgpack" if pretrained else None
+            if qpath and os.path.exists(qpath):
+                import flax.serialization
+
+                from contrastiveseg_tpu.ops.queue import MemoryBank
+
+                with open(qpath, "rb") as f:
+                    q = flax.serialization.msgpack_restore(f.read())
+                bank = MemoryBank(
+                    segment_queue=jnp.asarray(q["segment_queue"]),
+                    segment_ptr=jnp.asarray(q["segment_ptr"], jnp.int32),
+                    pixel_queue=jnp.asarray(q["pixel_queue"]),
+                    pixel_ptr=jnp.asarray(q["pixel_ptr"], jnp.int32),
+                )
+                self.log.info(f"seeded memory bank from {qpath}")
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],

@@ -560,9 +560,16 @@ class SegFixHRNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> dict[str, jnp.ndarray]:
-        feats = HRNet(HRNET_SPECS[self.arch], dtype=self.dtype, name="backbone")(
-            x.astype(self.dtype), train
-        )
+        if self.arch in HRNET_SPECS:
+            feats = HRNet(HRNET_SPECS[self.arch], dtype=self.dtype,
+                          name="backbone")(x.astype(self.dtype), train)
+        else:
+            # The segfix scripts' hrnet2x20 (HighResolutionNext) backbone
+            # (scripts/cityscapes/segfix/run_hx_20_d_2*.sh).
+            from contrastiveseg_tpu.models.hrnet import HRNetNext
+
+            feats = HRNetNext(arch=self.arch, dtype=self.dtype,
+                              name="backbone")(x.astype(self.dtype), train)
         h, w = feats[0].shape[1], feats[0].shape[2]
         cat = jnp.concatenate(
             [feats[0]]
@@ -581,11 +588,15 @@ class SegFixHRNet(nn.Module):
 
 @MODELS.register("segfix_hrnet")
 def _segfix_hrnet(cfg) -> nn.Module:
+    from contrastiveseg_tpu.models.hrnet import HRNEXT_SPECS
+
     dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
     backbone = cfg.get("network.backbone", default="hrnet48")
+    if backbone not in HRNET_SPECS and backbone not in HRNEXT_SPECS:
+        backbone = "hrnet48"
     return SegFixHRNet(
         num_directions=cfg.get("data.dt_num_classes", default=8),
-        arch=backbone if backbone in HRNET_SPECS else "hrnet48",
+        arch=backbone,
         dtype=dtype,
     )
 

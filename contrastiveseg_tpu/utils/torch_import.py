@@ -373,14 +373,53 @@ def spatial_ocrnet_path(path: tuple[str, ...]) -> Optional[TorchKey]:
     return None
 
 
-def segfix_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+def hrnetnext_backbone_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """HRNetNext (models/hrnet.py:315-348) -> reference HighResolutionNext
+    (hrnet_backbone.py:577-740): conv1/bn1 stem; transition{0..3} module
+    lists (the newly spawned branch is a nested Sequential); stage{1..4}
+    module lists share HighResolutionModule's branch/fuse naming.
+
+    HighResolutionNext stage s holds s+1 branches, so the new branch in
+    our transition{s}_b{i} is i == s (vs i == s-1 for the standard
+    HRNet's transitions)."""
+    name = path[0]
+    if name == "stem":
+        return _convbn("conv1", "bn1", path[1:])
+    m = re.fullmatch(r"transition(\d)_b(\d)", name)
+    if m:
+        s, i = int(m.group(1)), int(m.group(2))
+        base = f"transition{s - 1}.{i}"
+        if i == s:
+            base += ".0"
+        return _convbn(f"{base}.0", f"{base}.1", path[1:])
+    m = re.fullmatch(r"stage(\d)_module(\d+)", name)
+    if m:
+        s, mod = m.group(1), m.group(2)
+        inner = path[1]
+        b = re.fullmatch(r"branch(\d+)_block(\d+)", inner)
+        if b:
+            return _block(f"stage{s}.{mod}.branches.{b.group(1)}.{b.group(2)}",
+                          path[2:])
+        f = re.fullmatch(r"fuse(\d+)_(\d+)_ds(\d+)", inner)
+        if f:
+            base = (f"stage{s}.{mod}.fuse_layers."
+                    f"{f.group(1)}.{f.group(2)}.{f.group(3)}")
+            return _convbn(f"{base}.0", f"{base}.1", path[2:])
+        f = re.fullmatch(r"fuse(\d+)_(\d+)", inner)
+        if f:
+            base = f"stage{s}.{mod}.fuse_layers.{f.group(1)}.{f.group(2)}"
+            return _convbn(f"{base}.0", f"{base}.1", path[2:])
+    return None
+
+
+def _segfix_path(path: tuple[str, ...], backbone_fn) -> Optional[TorchKey]:
     """SegFixHRNet (models/nets.py) -> reference SegFix_HRNet
     (nets/segfix.py:25-89): HRNet backbone + twin 1x1 heads
     {mask,dir}_head = Sequential(conv bias=False, BNReLU, conv bias=False).
     Lets the published reference SegFix checkpoints drive our offset
     refiner."""
     if path[0] == "backbone":
-        tk = hrnet_backbone_path(path[1:])
+        tk = backbone_fn(path[1:])
         if tk is not None:
             tk.key = f"backbone.{tk.key}"
             if tk.fold_bias_key:
@@ -394,6 +433,16 @@ def segfix_path(path: tuple[str, ...]) -> Optional[TorchKey]:
     if m:
         return _plain_conv(f"{m.group(1)}_head.2", path[1:])
     return None
+
+
+def segfix_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    return _segfix_path(path, hrnet_backbone_path)
+
+
+def segfix_next_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """SegFix on the hrnet2x20 (HighResolutionNext) backbone — the
+    run_hx_20_d_2*.sh script family."""
+    return _segfix_path(path, hrnetnext_backbone_path)
 
 
 def _self_attention(base: str, s: tuple[str, ...],
@@ -642,6 +691,39 @@ def semantic_fpn_decoder_path(path: tuple[str, ...]) -> Optional[TorchKey]:
     return None
 
 
+def hrnet_mem_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """HRNet_W48_MEM (nets/hrnet.py:153-188) = HRNet_W48_CONTRAST under an
+    ``encoder_q.`` prefix + 4 queue buffers (handled separately by
+    extract_memory_queues)."""
+    tk = hrnet_seg_path(path)
+    if tk is not None:
+        tk.key = f"encoder_q.{tk.key}"
+        if tk.fold_bias_key:
+            tk.fold_bias_key = f"encoder_q.{tk.fold_bias_key}"
+    return tk
+
+
+MEM_QUEUE_KEYS = ("segment_queue", "segment_queue_ptr",
+                  "pixel_queue", "pixel_queue_ptr")
+
+
+def extract_memory_queues(torch_sd: dict) -> Optional[dict]:
+    """Pop HRNet_W48_MEM's queue buffers (nets/hrnet.py:165-171) into our
+    MemoryBank layout: [C, M, D] float32 queues + [C] int32 ring pointers
+    (ops/queue.MemoryBank).  Returns None when the checkpoint has no
+    queues (non-mem model)."""
+    if "segment_queue" not in torch_sd:
+        return None
+    return {
+        "segment_queue": np.asarray(torch_sd.pop("segment_queue"),
+                                    np.float32),
+        "segment_ptr": np.asarray(torch_sd.pop("segment_queue_ptr"),
+                                  np.int32),
+        "pixel_queue": np.asarray(torch_sd.pop("pixel_queue"), np.float32),
+        "pixel_ptr": np.asarray(torch_sd.pop("pixel_queue_ptr"), np.int32),
+    }
+
+
 PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "hrnet_seg": hrnet_seg_path,
     "hrnet_backbone": hrnet_backbone_path,
@@ -652,12 +734,15 @@ PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "fcnet": fcnet_path,
     "spatial_ocrnet": spatial_ocrnet_path,
     "segfix": segfix_path,
+    "segfix_next": segfix_next_path,
+    "hrnetnext_backbone": hrnetnext_backbone_path,
     "asp_ocrnet": asp_ocrnet_path,
     "ce2p": ce2p_path,
     "base_ocnet": base_ocnet_path,
     "asp_ocnet": asp_ocnet_path,
     "isanet": isanet_path,
     "semantic_fpn_decoder": semantic_fpn_decoder_path,
+    "hrnet_mem": hrnet_mem_path,
 }
 
 
@@ -665,6 +750,9 @@ def mapper_for_model(model_name: str) -> str:
     """Registry model name -> PATH_MAPPERS key (tools/import_torch_ckpt.py)."""
     if model_name == "ms_ocr":
         return "ms_ocr"
+    if model_name.startswith("hrnet") and "mem" in model_name:
+        # HRNet_W48_MEM checkpoints carry the encoder_q. prefix + queues.
+        return "hrnet_mem"
     if "ocr" in model_name and model_name.startswith("hrnet"):
         return "hrnet_ocr"
     if model_name.startswith("deeplab"):

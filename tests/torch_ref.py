@@ -494,3 +494,20 @@ def build_hrnet_ocr_b(num_classes=19, seed=0):
     net = HRNet_W48_OCR_B(c)
     net.eval()
     return net
+
+
+def build_hrnet_mem(num_classes=19, proj_dim=256, memory_size=40, seed=0):
+    """Reference HRNet_W48_MEM (lib/models/nets/hrnet.py:153-188), eval:
+    HRNet_W48_CONTRAST under an encoder_q. prefix + 4 queue buffers."""
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    c = build_configer({"data": {"num_classes": num_classes},
+                        "contrast": {"proj_dim": proj_dim,
+                                     "memory_size": memory_size}})
+    from lib.models.nets.hrnet import HRNet_W48_MEM
+
+    net = HRNet_W48_MEM(c, dim=proj_dim)
+    net.eval()
+    return net

@@ -105,6 +105,7 @@ def main() -> None:
                   .replace("backbone.bn1.", "backbone.resinit.bn1."): v
                   for k, v in sd.items()}
 
+    queues = ti.extract_memory_queues(sd)
     mapper = args.mapper or ti.mapper_for_model(args.model)
     newvars, report = ti.convert_state_dict(variables, sd, mapper,
                                             strict=True)
@@ -117,6 +118,16 @@ def main() -> None:
             print("  ", m)
     ti.save_variables(newvars, args.out)
     print(f"wrote {args.out}")
+    if queues is not None:
+        # HRNet_W48_MEM queue buffers -> a sidecar the trainer can seed
+        # its MemoryBank from (engine/state.py).
+        import flax.serialization
+
+        qpath = args.out + ".queues.msgpack"
+        with open(qpath, "wb") as f:
+            f.write(flax.serialization.msgpack_serialize(queues))
+        print(f"wrote memory queues ({queues['segment_queue'].shape}) "
+              f"to {qpath}")
 
 
 if __name__ == "__main__":

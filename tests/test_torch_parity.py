@@ -785,3 +785,33 @@ def test_segfix_hrnet2x_forward_parity_eval():
         # backbone's 16-32x upsample factors (measured 4.1e-3 mask /
         # 6.6e-3 dir).
         assert err < 1.2e-2, f"{key}: max rel err {err}"
+
+
+def test_hrnet_plain_forward_parity_eval():
+    """Plain HRNet_W48 (hrnet.py:24-56) forward parity on imported
+    weights — the no-proj, full-resolution-output contract (final 1x1
+    cls is bias-free)."""
+    net = torch_ref.build_hrnet_plain(num_classes=7, seed=0)
+    _randomize_bn_stats(net, 47)
+    sd = torch_ref.state_dict_numpy(net)
+
+    model = HRNetSeg(num_classes=7, arch="hrnet48", with_proj=False)
+    rng = jax.random.PRNGKey(0)
+    x = np.random.RandomState(11).randn(1, 64, 64, 3).astype(np.float32)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.asarray(x), train=True)
+    newvars, report = ti.convert_state_dict(variables, sd, "hrnet_seg")
+    assert report["missing"] == [], report["missing"][:10]
+    assert report["unused"] == [], report["unused"][:10]
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        seg_t = net(xt).numpy()
+    out_j = model.apply(
+        {"params": newvars["params"], "batch_stats": newvars["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    b = np.transpose(np.asarray(out_j["seg"]), (0, 3, 1, 2))
+    assert seg_t.shape == b.shape
+    err = np.abs(seg_t - b).max() / max(np.abs(seg_t).max(), 1.0)
+    assert err < 2e-3, f"max rel err {err}"

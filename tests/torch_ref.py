@@ -511,3 +511,17 @@ def build_hrnet_mem(num_classes=19, proj_dim=256, memory_size=40, seed=0):
     net = HRNet_W48_MEM(c, dim=proj_dim)
     net.eval()
     return net
+
+
+def build_hrnet_plain(num_classes=19, seed=0):
+    """Reference HRNet_W48 (lib/models/nets/hrnet.py:24-56), eval."""
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    c = build_configer({"data": {"num_classes": num_classes}})
+    from lib.models.nets.hrnet import HRNet_W48
+
+    net = HRNet_W48(c)
+    net.eval()
+    return net

@@ -29,8 +29,11 @@ from contrastiveseg_tpu.models.resnet import (
 from contrastiveseg_tpu.models.vit import VIT_SPECS, ViT
 
 
-def build_backbone(name: str, dtype: Any = jnp.float32, module_name: str = "backbone"):
-    """Returns a flax module whose __call__(x, train) -> list of features."""
+def build_backbone(name: str, dtype: Any = jnp.float32,
+                   module_name: str = "backbone", img_size: int = 224):
+    """Returns a flax module whose __call__(x, train) -> list of features.
+    ``img_size`` sizes the PVT v1 absolute position-embedding grids
+    (reference reads train input_size[0], pvt_backbone.py:277-280)."""
     # Exact names first: RESNET_SPECS carries the reference's full arch
     # zoo with per-name deep_base semantics (deepbase_resnet18 is deep,
     # resnet34 is not); the deepbase_ strip below remains for the repo's
@@ -46,7 +49,8 @@ def build_backbone(name: str, dtype: Any = jnp.float32, module_name: str = "back
     if name in RESNET_SPECS:
         return ResNet(RESNET_SPECS[name], dtype=dtype, name=module_name)
     if name in PVT_SPECS:
-        return PVT(PVT_SPECS[name], dtype=dtype, name=module_name)
+        return PVT(PVT_SPECS[name], img_size=img_size, dtype=dtype,
+                   name=module_name)
     if name in VIT_SPECS:
         return ViT(VIT_SPECS[name], dtype=dtype, name=module_name)
     if name in HRNEXT_SPECS:

@@ -987,6 +987,7 @@ class PyramidSegNet(nn.Module):
     num_classes: int
     backbone: str = "pvt_small"
     fpn_dim: int = 256
+    img_size: int = 224  # PVT v1 pos-embed grid (train input_size[0])
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -994,7 +995,8 @@ class PyramidSegNet(nn.Module):
         from contrastiveseg_tpu.models.backbone_selector import build_backbone
 
         in_h, in_w = x.shape[1], x.shape[2]
-        feats = build_backbone(self.backbone, dtype=self.dtype)(
+        feats = build_backbone(self.backbone, dtype=self.dtype,
+                               img_size=self.img_size)(
             x.astype(self.dtype), train
         )
         seg = FPNSemanticDecoder(self.num_classes, fpn_dim=self.fpn_dim,
@@ -1007,9 +1009,12 @@ class PyramidSegNet(nn.Module):
 @MODELS.register("semantic_fpn")
 def _semantic_fpn(cfg) -> nn.Module:
     dtype = jnp.bfloat16 if cfg.get("network.bf16", default=False) else jnp.float32
+    input_size = cfg.get("train.data_transformer.input_size",
+                         default=[224, 224])
     return PyramidSegNet(
         num_classes=cfg.get("data.num_classes"),
         backbone=cfg.get("network.backbone", default="pvt_small"),
+        img_size=int(input_size[0]),
         dtype=dtype,
     )
 

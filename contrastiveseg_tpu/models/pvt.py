@@ -27,14 +27,17 @@ class PVTSpec:
     mlp_ratios: tuple[float, ...] = (8.0, 8.0, 4.0, 4.0)
     pos_cnn: bool = False  # PCPVT conditional position encoding
     local_windows: tuple[int, ...] | None = None  # SVT locally-grouped attn
+    # PVT v1's learnable absolute position embeddings, one per stage,
+    # bilinear-resized to the running resolution (pvt_backbone.py:150-215).
+    abs_pos_embed: bool = False
 
 
 PVT_SPECS = {
     # pvt_backbone.py:277-333 factories.
-    "pvt_tiny": PVTSpec(depths=(2, 2, 2, 2)),
-    "pvt_small": PVTSpec(),
-    "pvt_medium": PVTSpec(depths=(3, 4, 18, 3)),
-    "pvt_large": PVTSpec(depths=(3, 8, 27, 3)),
+    "pvt_tiny": PVTSpec(depths=(2, 2, 2, 2), abs_pos_embed=True),
+    "pvt_small": PVTSpec(abs_pos_embed=True),
+    "pvt_medium": PVTSpec(depths=(3, 4, 18, 3), abs_pos_embed=True),
+    "pvt_large": PVTSpec(depths=(3, 8, 27, 3), abs_pos_embed=True),
     # pcpvt_backbone.py:318-326: same depth tables + PosCNN.
     "pcpvt_tiny": PVTSpec(depths=(2, 2, 2, 2), pos_cnn=True),
     "pcpvt_small": PVTSpec(pos_cnn=True),
@@ -123,6 +126,25 @@ class LocalAttention(nn.Module):
         v = v.reshape(-1, w * w, self.num_heads, hd)
         att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                          preferred_element_type=jnp.float32) * hd ** -0.5
+        if ph or pw:
+            # Padded-position masking (GroupAttention, svt_backbone.py:
+            # 60-73): -1000 wherever query/key padded-ness differs.  The
+            # reference's `mask[:, -pad:, :]` uses `-0:` when one pad is
+            # zero — that fills the WHOLE mask and disables masking; the
+            # quirk is replicated for parity.
+            import numpy as _np
+
+            m = _np.zeros((Hp, Wp), _np.float32)
+            m[Hp - ph if ph > 0 else 0:, :] = 1
+            m[:, Wp - pw if pw > 0 else 0:] = 1
+            m = m.reshape(Hp // w, w, Wp // w, w).transpose(0, 2, 1, 3)
+            m = m.reshape(-1, w * w)  # [n_windows, w*w]
+            bias = m[:, None, :] - m[:, :, None]  # key - query
+            bias = _np.where(bias != 0.0, -1000.0, 0.0).astype(_np.float32)
+            nw = bias.shape[0]
+            att = att.reshape(B, nw, self.num_heads, w * w, w * w)
+            att = att + jnp.asarray(bias)[None, :, None]
+            att = att.reshape(-1, self.num_heads, w * w, w * w)
         att = jax.nn.softmax(att, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", att, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
@@ -160,9 +182,15 @@ class PVTBlock(nn.Module):
 
 
 class PVT(nn.Module):
-    """Returns 4 feature maps at strides 4/8/16/32."""
+    """Returns 4 feature maps at strides 4/8/16/32.
+
+    ``img_size`` sets the canonical grid of the v1 absolute position
+    embeddings (the reference reads train input_size[0],
+    pvt_backbone.py:277-280); they are bilinear-resized (half-pixel,
+    like torch's align_corners=False) to the running resolution."""
 
     spec: PVTSpec
+    img_size: int = 224
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -176,6 +204,20 @@ class PVT(nn.Module):
                 dtype=self.dtype, name=f"patch{stage}",
             )(x)
             x = nn.LayerNorm(dtype=self.dtype, name=f"patch_norm{stage}")(x)
+            if s.abs_pos_embed:
+                g = self.img_size // (4 * (1 << stage))
+                pe = self.param(
+                    f"pos_embed{stage}",
+                    nn.initializers.truncated_normal(0.02),
+                    (1, g, g, s.dims[stage]), jnp.float32,
+                )
+                if (g, g) != (x.shape[1], x.shape[2]):
+                    import jax.image
+
+                    pe = jax.image.resize(
+                        pe, (1, x.shape[1], x.shape[2], s.dims[stage]),
+                        method="linear", antialias=False)
+                x = x + pe.astype(x.dtype)
             for b in range(s.depths[stage]):
                 # SVT interleaves local / global attention.
                 lw = None

@@ -691,6 +691,112 @@ def semantic_fpn_decoder_path(path: tuple[str, ...]) -> Optional[TorchKey]:
     return None
 
 
+def _linear_t(w: np.ndarray) -> np.ndarray:
+    """torch Linear [out, in] -> flax Dense kernel [in, out]."""
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _linear(base: str, sub: tuple[str, ...]) -> Optional[TorchKey]:
+    """A flax nn.Dense: ('kernel',) / ('bias',) -> torch nn.Linear."""
+    if sub == ("kernel",):
+        return TorchKey(f"{base}.weight", _linear_t)
+    if sub == ("bias",):
+        return TorchKey(f"{base}.bias")
+    return None
+
+
+def _layernorm(base: str, sub: tuple[str, ...]) -> Optional[TorchKey]:
+    """A flax nn.LayerNorm: ('scale',) / ('bias',) -> torch nn.LayerNorm."""
+    if sub == ("scale",):
+        return TorchKey(f"{base}.weight")
+    if sub == ("bias",):
+        return TorchKey(f"{base}.bias")
+    return None
+
+
+def _kv_half(first: bool):
+    """Split torch's fused kv Linear [2C, C] into our separate k/v Dense."""
+    def f(w: np.ndarray) -> np.ndarray:
+        w = np.asarray(w)
+        h = w.shape[0] // 2
+        part = w[:h] if first else w[h:]
+        return np.ascontiguousarray(part.T) if part.ndim == 2 else part
+    return f
+
+
+def _pvt_block(base: str, sub: tuple[str, ...]) -> Optional[TorchKey]:
+    """PVTBlock (models/pvt.py) -> reference Block / GroupBlock
+    ({pvt,pcpvt,svt}_backbone.py): norm1/attn/norm2/mlp(fc1,fc2); the
+    torch kv Linear is fused (split into our k/v), SVT's local qkv is
+    fused on both sides."""
+    if sub[0] in ("norm1", "norm2"):
+        return _layernorm(f"{base}.{sub[0]}", sub[1:])
+    if sub[0] == "fc1":
+        return _linear(f"{base}.mlp.fc1", sub[1:])
+    if sub[0] == "fc2":
+        return _linear(f"{base}.mlp.fc2", sub[1:])
+    if sub[0] == "attn":
+        s = sub[1:]
+        if s[0] in ("q", "proj", "qkv"):
+            return _linear(f"{base}.attn.{s[0]}", s[1:])
+        if s[0] in ("k", "v"):
+            if s[1] == "kernel":
+                return TorchKey(f"{base}.attn.kv.weight",
+                                _kv_half(s[0] == "k"))
+            if s[1] == "bias":
+                return TorchKey(f"{base}.attn.kv.bias",
+                                _kv_half(s[0] == "k"))
+            return None
+        if s[0] == "sr":
+            return _plain_conv(f"{base}.attn.sr", s[1:])
+        if s[0] == "sr_norm":
+            return _layernorm(f"{base}.attn.norm", s[1:])
+    return None
+
+
+def _pvt_family_path(path: tuple[str, ...],
+                     v1: bool) -> Optional[TorchKey]:
+    """PVT (models/pvt.py) -> reference backbones.  v1 (pvt_backbone.py):
+    patch_embed{1..4} / pos_embed{1..4} / block{1..4}; pcpvt/svt
+    ({pcpvt,svt}_backbone.py): patch_embeds.{i} / blocks.{i} /
+    pos_block.{i}.proj.0 (the PEG depthwise conv)."""
+    name = path[0]
+    m = re.fullmatch(r"patch(\d)", name)
+    if m:
+        i = int(m.group(1))
+        base = f"patch_embed{i + 1}" if v1 else f"patch_embeds.{i}"
+        return _plain_conv(f"{base}.proj", path[1:])
+    m = re.fullmatch(r"patch_norm(\d)", name)
+    if m:
+        i = int(m.group(1))
+        base = f"patch_embed{i + 1}" if v1 else f"patch_embeds.{i}"
+        return _layernorm(f"{base}.norm", path[1:])
+    m = re.fullmatch(r"pos_embed(\d)", name)
+    if m and len(path) == 1:
+        def reshape_pe(a: np.ndarray) -> np.ndarray:
+            a = np.asarray(a)  # [1, N, C]
+            g = int(round(a.shape[1] ** 0.5))
+            return np.ascontiguousarray(a.reshape(1, g, g, a.shape[2]))
+        return TorchKey(f"pos_embed{int(m.group(1)) + 1}", reshape_pe)
+    m = re.fullmatch(r"pos_cnn(\d)", name)
+    if m:
+        return _plain_conv(f"pos_block.{m.group(1)}.proj.0", path[1:])
+    m = re.fullmatch(r"stage(\d)_block(\d+)", name)
+    if m:
+        i, b = int(m.group(1)), m.group(2)
+        base = f"block{i + 1}.{b}" if v1 else f"blocks.{i}.{b}"
+        return _pvt_block(base, path[1:])
+    return None
+
+
+def pvt_backbone_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    return _pvt_family_path(path, v1=True)
+
+
+def pcpvt_backbone_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    return _pvt_family_path(path, v1=False)
+
+
 def hrnet_mem_path(path: tuple[str, ...]) -> Optional[TorchKey]:
     """HRNet_W48_MEM (nets/hrnet.py:153-188) = HRNet_W48_CONTRAST under an
     ``encoder_q.`` prefix + 4 queue buffers (handled separately by
@@ -743,6 +849,8 @@ PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "isanet": isanet_path,
     "semantic_fpn_decoder": semantic_fpn_decoder_path,
     "hrnet_mem": hrnet_mem_path,
+    "pvt_backbone": pvt_backbone_path,
+    "pcpvt_backbone": pcpvt_backbone_path,
 }
 
 

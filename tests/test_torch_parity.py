@@ -815,3 +815,38 @@ def test_hrnet_plain_forward_parity_eval():
     assert seg_t.shape == b.shape
     err = np.abs(seg_t - b).max() / max(np.abs(seg_t).max(), 1.0)
     assert err < 2e-3, f"max rel err {err}"
+
+
+@pytest.mark.parametrize("arch", ["pvt_small", "pcpvt_small", "svt_small"])
+def test_pvt_family_forward_parity_eval(arch):
+    """PVT / PCPVT / SVT backbones ({pvt,pcpvt,svt}_backbone.py) forward
+    parity on imported weights — pins the v1 absolute pos-embeds, the
+    SR-attention fused-kv split, the PEG depthwise conv, and the SVT
+    local/global interleave (all 4 pyramid levels compared)."""
+    from contrastiveseg_tpu.models.pvt import PVT, PVT_SPECS
+
+    net = torch_ref.build_pvt_backbone(arch, img_size=64, seed=0)
+    sd = torch_ref.state_dict_numpy(net)
+
+    mapper = "pvt_backbone" if arch.startswith("pvt") else "pcpvt_backbone"
+    model = PVT(PVT_SPECS[arch], img_size=64)
+    rng = jax.random.PRNGKey(0)
+    x = np.random.RandomState(12).randn(1, 64, 64, 3).astype(np.float32)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.asarray(x), train=True)
+    newvars, report = ti.convert_state_dict(variables, sd, mapper)
+    assert report["missing"] == [], report["missing"][:10]
+    assert report["unused"] == [], report["unused"][:10]
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        outs_t = net(xt)
+    outs_j = model.apply({"params": newvars["params"]},
+                         jnp.asarray(x), train=False)
+    assert len(outs_t) == len(outs_j) == 4
+    for lvl, (t, j) in enumerate(zip(outs_t, outs_j)):
+        a = t.numpy()
+        b = np.transpose(np.asarray(j), (0, 3, 1, 2))
+        assert a.shape == b.shape, (lvl, a.shape, b.shape)
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
+        assert err < 2e-3, f"{arch} level {lvl}: max rel err {err}"

@@ -54,12 +54,29 @@ def _install_timm_shim():
     def _cfg(url="", **kwargs):
         return dict(url=url, **kwargs)
 
+    class Mlp(nn.Module):
+        # Faithful to old-timm Mlp: fc1/act/fc2 names — SVT's GroupBlock
+        # subclasses timm's Block, so its state_dict keys must match the
+        # real library's (mlp.fc1.*, not mlp.0.*).
+        def __init__(self, in_features, hidden_features=None,
+                     out_features=None, act_layer=nn.GELU, drop=0.0):
+            super().__init__()
+            out_features = out_features or in_features
+            hidden_features = hidden_features or in_features
+            self.fc1 = nn.Linear(in_features, hidden_features)
+            self.act = act_layer()
+            self.fc2 = nn.Linear(hidden_features, out_features)
+            self.drop = nn.Dropout(drop)
+
+        def forward(self, x):
+            return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
+
     class Attention(nn.Module):
-        def __init__(self, dim, num_heads=8, qkv_bias=False, attn_drop=0.0,
-                     proj_drop=0.0, **kw):
+        def __init__(self, dim, num_heads=8, qkv_bias=False, qk_scale=None,
+                     attn_drop=0.0, proj_drop=0.0, **kw):
             super().__init__()
             self.num_heads = num_heads
-            self.scale = (dim // num_heads) ** -0.5
+            self.scale = qk_scale or (dim // num_heads) ** -0.5
             self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
             self.proj = nn.Linear(dim, dim)
 
@@ -73,18 +90,24 @@ def _install_timm_shim():
             return self.proj(x)
 
     class Block(nn.Module):
-        def __init__(self, dim, num_heads, mlp_ratio=4.0, qkv_bias=False, **kw):
+        # Old-timm Block signature (positional through norm_layer), as
+        # SVT's GroupBlock calls it (svt_backbone.py:130-135).
+        def __init__(self, dim, num_heads, mlp_ratio=4.0, qkv_bias=False,
+                     qk_scale=None, drop=0.0, attn_drop=0.0, drop_path=0.0,
+                     act_layer=nn.GELU, norm_layer=nn.LayerNorm, **kw):
             super().__init__()
-            self.norm1 = nn.LayerNorm(dim)
-            self.attn = Attention(dim, num_heads=num_heads, qkv_bias=qkv_bias)
-            self.norm2 = nn.LayerNorm(dim)
-            hidden = int(dim * mlp_ratio)
-            self.mlp = nn.Sequential(
-                nn.Linear(dim, hidden), nn.GELU(), nn.Linear(hidden, dim))
+            self.norm1 = norm_layer(dim)
+            self.attn = Attention(dim, num_heads=num_heads,
+                                  qkv_bias=qkv_bias, qk_scale=qk_scale,
+                                  attn_drop=attn_drop, proj_drop=drop)
+            self.drop_path = DropPath(drop_path)
+            self.norm2 = norm_layer(dim)
+            self.mlp = Mlp(dim, int(dim * mlp_ratio), act_layer=act_layer,
+                           drop=drop)
 
         def forward(self, x):
-            x = x + self.attn(self.norm1(x))
-            return x + self.mlp(self.norm2(x))
+            x = x + self.drop_path(self.attn(self.norm1(x)))
+            return x + self.drop_path(self.mlp(self.norm2(x)))
 
     layers.DropPath = DropPath
     layers.to_2tuple = to_2tuple
@@ -523,5 +546,31 @@ def build_hrnet_plain(num_classes=19, seed=0):
     from lib.models.nets.hrnet import HRNet_W48
 
     net = HRNet_W48(c)
+    net.eval()
+    return net
+
+
+def build_pvt_backbone(arch, img_size=64, seed=0):
+    """Reference PVT / PCPVT / SVT backbones
+    (lib/models/backbones/pvt/{pvt,pcpvt,svt}_backbone.py), eval.
+    ``img_size`` feeds the factories' train input_size[0] read."""
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    c = build_configer({
+        "network": {"backbone": arch},
+        "train": {"data_transformer": {"input_size": [img_size, img_size]}},
+    })
+    if arch.startswith("pcpvt"):
+        from lib.models.backbones.pvt import pcpvt_backbone as M
+        fn = getattr(M, arch.replace("pcpvt", "pvt"))
+    elif arch.startswith("svt"):
+        from lib.models.backbones.pvt import svt_backbone as M
+        fn = getattr(M, arch)
+    else:
+        from lib.models.backbones.pvt import pvt_backbone as M
+        fn = getattr(M, arch)
+    net = fn(configer=c)
     net.eval()
     return net

@@ -266,6 +266,60 @@ def run(batch: int, hw: tuple[int, int], steps: int, bf16: bool,
     return perf
 
 
+def run_input_bench(num_workers: int, batches: int = 20) -> None:
+    """Host-side input pipeline throughput: Cityscapes-shaped frames
+    (1024x2048) through the flagship train aug (fused resize+crop, hflip,
+    brightness) + fused normalize/pad/stack collate.  Decode excluded
+    (4 cached frames) — this measures the pipeline, which must outrun the
+    TPU step (28+ img/s/chip) to keep training compute-bound."""
+    import time
+
+    import numpy as np
+
+    from contrastiveseg_tpu.data.pipeline import DataPipeline
+    from contrastiveseg_tpu.data.transforms import (
+        Normalizer, build_train_transforms)
+    from contrastiveseg_tpu.presets import get_preset
+
+    rng = np.random.default_rng(0)
+    cache = [
+        {"image": rng.integers(0, 255, (1024, 2048, 3), dtype=np.uint8),
+         "label": rng.integers(0, 19, (1024, 2048)).astype(np.int32)}
+        for _ in range(4)
+    ]
+
+    class _DS:
+        def __len__(self):
+            return 10_000
+
+        def __getitem__(self, i):
+            return dict(cache[i % 4])
+
+    cfg = get_preset("cityscapes_hrnet_w48_mem")
+    pipe = DataPipeline(
+        _DS(), batch_size=8,
+        transforms=build_train_transforms(cfg),
+        normalizer=Normalizer(),
+        collate_kwargs={"size_mode": "fix_size", "input_size": (1024, 512),
+                        "align_method": "only_pad", "pad_mode": "random"},
+        num_workers=num_workers,
+    )
+    it = pipe.epoch_iter(0)
+    next(it)  # warm (thread pool + native lib load)
+    t0 = time.perf_counter()
+    for _ in range(batches):
+        next(it)
+    dt = time.perf_counter() - t0
+    imgs = batches * 8 / dt
+    print(json.dumps({
+        "metric": "host_input_pipeline_imgs_per_sec",
+        "value": round(imgs, 2),
+        "unit": "img/s",
+        "vs_baseline": round(imgs / 2.0, 2),  # round-2 pipeline: ~2 img/s
+        "workers": num_workers,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry", action="store_true", help="tiny CPU shapes")
@@ -321,7 +375,17 @@ def main() -> None:
                          "+0.5%% in round 2)")
     ap.add_argument("--worker", action="store_true",
                     help="(internal) run the measurement in-process")
+    ap.add_argument("--input", action="store_true",
+                    help="benchmark the HOST input pipeline (aug + "
+                         "normalize + collate on cached full-res frames; "
+                         "no TPU) in img/s per core")
+    ap.add_argument("--input-workers", type=int, default=0,
+                    help="data.workers thread-pool size for --input")
     args = ap.parse_args()
+
+    if args.input:
+        run_input_bench(args.input_workers, args.steps)
+        return
 
     if not args.worker and not args.dry:
         # The remote-TPU worker occasionally crashes mid-session

@@ -51,7 +51,14 @@ def collate(
     pad_mode: str = "random",
     fit_stride: int | None = None,
     rng: np.random.Generator | None = None,
+    normalizer=None,
 ) -> dict:
+    """``normalizer`` (a transforms.Normalizer) enables the fused fast
+    path: uint8 images are normalized+padded straight into a preallocated
+    [N, th, tw, C] float32 batch by the native kernel — bit-identical to
+    np.stack([np.pad(normalizer(img))]) but with zero intermediate
+    copies.  Only taken under align_method='only_pad'; float images pass
+    through the regular path unchanged."""
     rng = rng or np.random.default_rng()
     n = len(samples)
 
@@ -99,7 +106,17 @@ def collate(
 
     out: dict[str, list] = {}
     metas = []
-    for s in samples:
+    img_batch = None  # fused fast-path canvas
+    fuse_all = (
+        normalizer is not None
+        and align_method == "only_pad"
+        and all(
+            s["image"].dtype == np.uint8 and s["image"].ndim == 3
+            and s["image"].shape[-1] == len(normalizer.mean)
+            for s in samples
+        )
+    )
+    for bi, s in enumerate(samples):
         h, w = s["image"].shape[:2]
         meta = dict(s.get("meta", {}))
         meta["input_size"] = [tw, th]
@@ -130,8 +147,26 @@ def collate(
             f"sample ({h}x{w}) larger than target ({th}x{tw}) with "
             f"align_method={align_method}"
         )
+        left = up = 0
         if pad_w > 0 or pad_h > 0:
             left, up = _pad_offsets(pad_w, pad_h, pad_mode, rng)
+
+        if fuse_all:
+            img = item["image"]
+            from contrastiveseg_tpu.data import native
+
+            if img_batch is None:
+                img_batch = np.empty((n, th, tw, img.shape[-1]), np.float32)
+            done = native.normalize_pad_f32(
+                img, (th, tw), (up, left), normalizer.div_value,
+                normalizer.mean, normalizer.std, out=img_batch[bi])
+            if done is None:  # no native lib: fall back in place
+                canvas = np.zeros((th, tw, img.shape[-1]), np.float32)
+                canvas[up:up + h, left:left + w] = normalizer(img)
+                img_batch[bi] = canvas
+            item.pop("image")
+
+        if pad_w > 0 or pad_h > 0:
             for k, v in item.items():
                 pv = _PAD_VALUES.get(k, 0)
                 widths = [(up, pad_h - up), (left, pad_w - left)]
@@ -143,6 +178,8 @@ def collate(
         metas.append(meta)
 
     batch = {k: np.stack(v) for k, v in out.items()}
+    if img_batch is not None:
+        batch["image"] = img_batch
     batch["meta"] = metas
     return batch
 

@@ -56,6 +56,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.resize_nearest_i32.argtypes = [
             i32p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, ctypes.c_int,
         ]
+        lib.resize_bicubic_window_u8.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         lib.normalize_pad_f32.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -63,6 +68,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.confusion_matrix_i64.argtypes = [
             i32p, i32p, ctypes.c_int64, ctypes.c_int, i64p,
+        ]
+        lib.normalize_f32.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int, f32p, ctypes.c_float,
+            f32p, f32p,
         ]
         _lib = lib
         return _lib
@@ -89,6 +98,30 @@ def resize_bicubic_u8(img: np.ndarray, size_wh: tuple[int, int]) -> Optional[np.
     return out
 
 
+def resize_bicubic_window_u8(
+    img: np.ndarray, virtual_wh: tuple[int, int],
+    window_xywh: tuple[int, int, int, int],
+) -> Optional[np.ndarray]:
+    """The `window_xywh` = (x0, y0, w, h) crop of the virtual
+    `virtual_wh` bicubic resize of ``img``, without materializing the rest
+    — bit-identical to ``resize_bicubic_u8(img, virtual_wh)[y0:y0+h,
+    x0:x0+w]``.  None if native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    ch = img.shape[2] if img.ndim == 3 else 1
+    vdw, vdh = virtual_wh
+    x0, y0, ow, oh = window_xywh
+    out = np.empty((oh, ow, ch) if img.ndim == 3 else (oh, ow), np.uint8)
+    lib.resize_bicubic_window_u8(
+        _ptr(img, ctypes.c_uint8), h, w, ch,
+        _ptr(out, ctypes.c_uint8), vdh, vdw, y0, x0, oh, ow,
+    )
+    return out
+
+
 def resize_nearest_i32(x: np.ndarray, size_wh: tuple[int, int]) -> Optional[np.ndarray]:
     lib = get_lib()
     if lib is None:
@@ -106,6 +139,7 @@ def resize_nearest_i32(x: np.ndarray, size_wh: tuple[int, int]) -> Optional[np.n
 def normalize_pad_f32(
     img: np.ndarray, canvas_hw: tuple[int, int], offset_yx: tuple[int, int],
     div_value: float, mean: np.ndarray, std: np.ndarray,
+    out: Optional[np.ndarray] = None,
 ) -> Optional[np.ndarray]:
     lib = get_lib()
     if lib is None:
@@ -113,7 +147,11 @@ def normalize_pad_f32(
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w, ch = img.shape
     dh, dw = canvas_hw
-    out = np.empty((dh, dw, ch), np.float32)
+    if out is None:
+        out = np.empty((dh, dw, ch), np.float32)
+    else:
+        assert out.shape == (dh, dw, ch) and out.dtype == np.float32
+        assert out.flags["C_CONTIGUOUS"]
     mean = np.ascontiguousarray(mean, np.float32)
     std = np.ascontiguousarray(std, np.float32)
     lib.normalize_pad_f32(
@@ -121,6 +159,27 @@ def normalize_pad_f32(
         _ptr(out, ctypes.c_float), dh, dw, offset_yx[0], offset_yx[1],
         ctypes.c_float(div_value), _ptr(mean, ctypes.c_float),
         _ptr(std, ctypes.c_float),
+    )
+    return out
+
+
+def normalize_f32(
+    img: np.ndarray, div_value: float, mean: np.ndarray, std: np.ndarray
+) -> Optional[np.ndarray]:
+    """Bit-identical native ((img/div) - mean) / std for uint8 HWC input;
+    None if native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    ch = img.shape[-1] if img.ndim == 3 else 1
+    out = np.empty(img.shape, np.float32)
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    lib.normalize_f32(
+        _ptr(img, ctypes.c_uint8), ctypes.c_int64(img.size // ch), ch,
+        _ptr(out, ctypes.c_float), ctypes.c_float(div_value),
+        _ptr(mean, ctypes.c_float), _ptr(std, ctypes.c_float),
     )
     return out
 

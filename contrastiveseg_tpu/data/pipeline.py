@@ -5,12 +5,23 @@ Replaces the reference's torch DataLoader + DistributedSampler
 (lib/datasets/data_loader.py:81-146).  Multi-host sharding follows the JAX
 recipe: every host reads its own `process_index`-strided subset and the
 global batch is assembled with ``jax.make_array_from_process_local_data``.
+
+Parallelism model (`data.workers`, the reference's DataLoader
+num_workers): a thread pool, not processes.  The hot aug kernels
+(bicubic window resize, nearest resize, normalize — native/segdata.cpp)
+are ctypes calls that release the GIL, and numpy's bulk ops do too, so
+threads scale across host cores without the fork hazards or the
+60 MB/batch IPC copies of a process pool.  Batch RNG is derived per
+batch index (SeedSequence (base, b)), so the produced stream is
+IDENTICAL for any worker count, including 0.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import jax
@@ -34,6 +45,7 @@ class DataPipeline:
         num_shards: int = 1,
         shard_index: int = 0,
         prefetch: int = 2,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -51,6 +63,7 @@ class DataPipeline:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        self.num_workers = max(0, min(int(num_workers), 32))
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -71,23 +84,37 @@ class DataPipeline:
         return idx[self.shard_index :: self.num_shards]
 
     def _make_batch(self, indices, rng: np.random.Generator) -> dict:
+        # Under only_pad + fix-shape modes, uint8 images skip the eager
+        # normalize: collate's fused native path normalizes+pads them
+        # straight into the batch canvas (bit-identical, zero copies).
+        defer_norm = (
+            self.collate_kwargs.get("align_method", "only_pad") == "only_pad"
+            and self.collate_kwargs.get("size_mode", "fix_size")
+            != "diverse_size"
+        )
         samples = []
         for i in indices:
             s = self.dataset[int(i)]
             if self.transforms is not None:
                 s = self.transforms(s, rng)
             s = dict(s)
-            s["image"] = self.normalizer(s["image"])
+            if not (defer_norm and s["image"].dtype == np.uint8):
+                s["image"] = self.normalizer(s["image"])
             samples.append(s)
-        batch = collate(samples, rng=rng, **self.collate_kwargs)
+        batch = collate(
+            samples, rng=rng,
+            normalizer=self.normalizer if defer_norm else None,
+            **self.collate_kwargs)
         if isinstance(batch["image"], list):  # diverse_size: per-image eval
-            batch["image"] = [x.astype(np.float32) for x in batch["image"]]
+            batch["image"] = [x.astype(np.float32, copy=False)
+                              for x in batch["image"]]
             if "label" in batch:
-                batch["label"] = [x.astype(np.int32) for x in batch["label"]]
+                batch["label"] = [x.astype(np.int32, copy=False)
+                                  for x in batch["label"]]
             return batch
         if "label" in batch:
-            batch["label"] = batch["label"].astype(np.int32)
-        batch["image"] = batch["image"].astype(np.float32)
+            batch["label"] = batch["label"].astype(np.int32, copy=False)
+        batch["image"] = batch["image"].astype(np.float32, copy=False)
         return batch
 
     def epoch_iter(self, epoch: int) -> Iterator[dict]:
@@ -95,14 +122,39 @@ class DataPipeline:
         nb = len(indices) // self.batch_size if self.drop_last else -(
             -len(indices) // self.batch_size
         )
-        rng = np.random.default_rng(
-            (self.seed + epoch) * 1000003 + self.shard_index
-        )
+        base = (self.seed + epoch) * 1000003 + self.shard_index
+
+        def batch_rng(b: int) -> np.random.Generator:
+            # Random-access per-batch stream: the same batch index always
+            # yields the same augmentations, for ANY worker count.
+            return np.random.default_rng(np.random.SeedSequence((base, b)))
+
+        def chunk(b: int):
+            return indices[b * self.batch_size : (b + 1) * self.batch_size]
+
+        if self.num_workers >= 2:
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                inflight: deque = deque()
+                ahead = self.num_workers + self.prefetch
+                nxt = 0
+                while nxt < min(ahead, nb):
+                    inflight.append(
+                        pool.submit(self._make_batch, chunk(nxt),
+                                    batch_rng(nxt)))
+                    nxt += 1
+                while inflight:
+                    item = inflight.popleft().result()
+                    if nxt < nb:
+                        inflight.append(
+                            pool.submit(self._make_batch, chunk(nxt),
+                                        batch_rng(nxt)))
+                        nxt += 1
+                    yield item
+            return
 
         def producer(q: queue.Queue):
             for b in range(nb):
-                chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
-                q.put(self._make_batch(chunk, rng))
+                q.put(self._make_batch(chunk(b), batch_rng(b)))
             q.put(None)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -155,4 +207,5 @@ def build_pipeline(cfg, split: str = "train", dataset=None) -> DataPipeline:
         collate_kwargs=collate_kwargs,
         num_shards=jax.process_count(),
         shard_index=jax.process_index(),
+        num_workers=cfg.get("data.workers", default=0),
     )

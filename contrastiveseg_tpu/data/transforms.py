@@ -36,12 +36,12 @@ def _pil_resize_img(img: np.ndarray, size_wh: tuple[int, int]) -> np.ndarray:
     half-pixel, clamp) and falls back to PIL bicubic."""
     from contrastiveseg_tpu.data import native
 
-    out = native.resize_bicubic_u8(img.astype(np.uint8), size_wh)
+    if img.dtype != np.uint8:
+        img = img.astype(np.uint8)
+    out = native.resize_bicubic_u8(img, size_wh)
     if out is not None:
         return out
-    return np.asarray(
-        Image.fromarray(img.astype(np.uint8)).resize(size_wh, Image.BICUBIC)
-    )
+    return np.asarray(Image.fromarray(img).resize(size_wh, Image.BICUBIC))
 
 
 def _nearest_resize(x: np.ndarray, size_wh: tuple[int, int]) -> np.ndarray:
@@ -130,6 +130,104 @@ class RandomCrop:
         return out
 
 
+class FusedResizeCrop:
+    """RandomResize immediately followed by RandomCrop, evaluated lazily:
+    only the cropped window of the virtual resized image is ever computed
+    (native ``resize_bicubic_window_u8``).  Draws from ``rng`` in exactly
+    the order the two constituent transforms would, and produces
+    bit-identical samples + rng state — the full resize at scale 2
+    materializes 8.4 Mpx of a 1024x2048 Cityscapes frame to keep a
+    0.5 Mpx crop, which dominated host aug cost (~400 ms/img)."""
+
+    def __init__(self, resize: RandomResize, crop: RandomCrop):
+        self.resize = resize
+        self.crop = crop
+
+    def _draw_virtual_size(self, sample, rng):
+        """Replicates RandomResize's rng draws; returns (vw, vh) or None
+        when the ratio gate skips the resize."""
+        r = self.resize
+        if rng.random() > r.ratio:
+            return None
+        h, w = sample["image"].shape[:2]
+        if r.scale_list is not None:
+            scale = r.scale_list[rng.integers(0, len(r.scale_list))]
+        else:
+            scale = rng.uniform(*r.scale_range)
+        aspect = rng.uniform(*r.aspect_range)
+        w_ratio = math.sqrt(aspect) * scale
+        h_ratio = math.sqrt(1.0 / aspect) * scale
+        if r.max_side_bound is not None and max(
+            h * h_ratio, w * w_ratio
+        ) > r.max_side_bound:
+            d = r.max_side_bound / max(h * h_ratio, w * w_ratio)
+            w_ratio *= d
+            h_ratio *= d
+        return (int(w * w_ratio), int(h * h_ratio))
+
+    def _draw_crop(self, vw, vh, rng):
+        """Replicates RandomCrop's rng draws; returns (x0, y0, tw, th) or
+        None when the ratio gate skips the crop."""
+        c = self.crop
+        if rng.random() > c.ratio:
+            return None
+        tw, th = min(c.size[0], vw), min(c.size[1], vh)
+        if c.method == "center":
+            x0, y0 = (vw - tw) // 2, (vh - th) // 2
+        elif c.method == "grid":
+            gx = rng.integers(0, c.grid[0])
+            gy = rng.integers(0, c.grid[1])
+            x0 = gx * ((vw - tw) // max(c.grid[0] - 1, 1))
+            y0 = gy * ((vh - th) // max(c.grid[1] - 1, 1))
+        else:
+            x0 = int(rng.integers(0, vw - tw + 1))
+            y0 = int(rng.integers(0, vh - th + 1))
+        return (x0, y0, tw, th)
+
+    @staticmethod
+    def _nearest_window(x, vw, vh, win):
+        """window of _nearest_resize(x, (vw, vh)) without materializing it."""
+        x0, y0, tw, th = win
+        sh, sw = x.shape[:2]
+        rows = np.clip(
+            np.floor((y0 + np.arange(th)) * sh / vh).astype(np.int64),
+            0, sh - 1)
+        cols = np.clip(
+            np.floor((x0 + np.arange(tw)) * sw / vw).astype(np.int64),
+            0, sw - 1)
+        return x[rows][:, cols]
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        virtual = self._draw_virtual_size(sample, rng)
+        if virtual is None:  # resize skipped: plain crop
+            return self.crop(sample, rng)
+        vw, vh = virtual
+        win = self._draw_crop(vw, vh, rng)
+        if win is None:  # crop skipped: plain full resize
+            out = dict(sample)
+            out["image"] = _pil_resize_img(sample["image"], (vw, vh))
+            for k in NEAREST_KEYS:
+                if k in sample:
+                    out[k] = _nearest_resize(sample[k], (vw, vh))
+            return out
+        out = dict(sample)
+        from contrastiveseg_tpu.data import native
+
+        src = sample["image"]
+        if src.dtype != np.uint8:
+            src = src.astype(np.uint8)
+        img = native.resize_bicubic_window_u8(src, (vw, vh), win)
+        if img is None:  # no native lib: full resize then crop
+            x0, y0, tw, th = win
+            img = _pil_resize_img(sample["image"], (vw, vh))[
+                y0:y0 + th, x0:x0 + tw]
+        out["image"] = img
+        for k in NEAREST_KEYS:
+            if k in sample:
+                out[k] = self._nearest_window(sample[k], vw, vh, win)
+        return out
+
+
 class RandomHFlip:
     """Horizontal flip + optional label-id swap pairs
     (cv2_aug_transforms.py:143-201)."""
@@ -165,9 +263,18 @@ class RandomBrightness:
         if rng.random() > self.ratio:
             return sample
         shift = int(rng.integers(-self.shift_value, self.shift_value + 1))
-        img = sample["image"].astype(np.float32) + shift
         out = dict(sample)
-        out["image"] = np.clip(np.around(img), 0, 255).astype(np.uint8)
+        img = sample["image"]
+        if img.dtype == np.uint8:
+            # 256-entry LUT == clip(around(v + shift)) for every uint8 v.
+            lut = np.clip(
+                np.around(np.arange(256, dtype=np.float32) + shift),
+                0, 255).astype(np.uint8)
+            out["image"] = lut[img]
+        else:
+            out["image"] = np.clip(
+                np.around(img.astype(np.float32) + shift), 0, 255
+            ).astype(np.uint8)
         return out
 
 
@@ -180,9 +287,16 @@ class RandomContrast:
             return sample
         f = rng.uniform(self.lower, self.upper)
         out = dict(sample)
-        out["image"] = np.clip(
-            sample["image"].astype(np.float32) * f, 0, 255
-        ).astype(np.uint8)
+        img = sample["image"]
+        if img.dtype == np.uint8:
+            # LUT == clip(v * f).astype(uint8) for every uint8 v.
+            lut = np.clip(
+                np.arange(256, dtype=np.float32) * f, 0, 255
+            ).astype(np.uint8)
+            out["image"] = lut[img]
+        else:
+            out["image"] = np.clip(
+                img.astype(np.float32) * f, 0, 255).astype(np.uint8)
         return out
 
 
@@ -415,6 +529,14 @@ class Normalizer:
         self.std = np.asarray(std, np.float32)
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
+        if img.dtype == np.uint8 and img.ndim == 3 and img.shape[-1] == len(
+                self.mean):
+            from contrastiveseg_tpu.data import native
+
+            out = native.normalize_f32(img, self.div_value, self.mean,
+                                       self.std)
+            if out is not None:
+                return out
         x = img.astype(np.float32) / self.div_value
         return (x - self.mean) / self.std
 
@@ -470,6 +592,22 @@ _TRANSFORM_BUILDERS = {
 }
 
 
+def _fuse_resize_crop(transforms: list) -> list:
+    """Replace adjacent RandomResize -> RandomCrop with the lazily
+    evaluated FusedResizeCrop (bit-identical output and rng state)."""
+    out, i = [], 0
+    while i < len(transforms):
+        t = transforms[i]
+        if (isinstance(t, RandomResize) and i + 1 < len(transforms)
+                and isinstance(transforms[i + 1], RandomCrop)):
+            out.append(FusedResizeCrop(t, transforms[i + 1]))
+            i += 2
+        else:
+            out.append(t)
+            i += 1
+    return out
+
+
 def build_train_transforms(cfg, section: str = "train_trans") -> Compose:
     """CV2AugCompose equivalent: builds from `trans_seq` config, honoring
     `shuffle_trans_seq` (cv2_aug_transforms.py:654-903)."""
@@ -482,6 +620,8 @@ def build_train_transforms(cfg, section: str = "train_trans") -> Compose:
 
     fixed = [build_one(n) for n in cfg.get(f"{section}.trans_seq", default=[])]
     shuffle = cfg.get(f"{section}.shuffle_trans_seq", default=None)
+    if cfg.get("data.fuse_resize_crop", default=True):
+        fixed = _fuse_resize_crop(fixed)
     if not shuffle:
         return Compose(fixed)
     if shuffle and isinstance(shuffle[0], (list, tuple)):

@@ -422,3 +422,139 @@ def test_test_dir_flat_mode(tmp_path):
     PILImage.fromarray(np.zeros((4, 6), np.uint8)).save(d / "label" / "x.png")
     ds2 = build_dataset(cfg, "test")
     assert "label" in ds2[0] and "label" not in ds2[1]
+
+
+def test_fused_resize_crop_bit_identical():
+    """FusedResizeCrop == RandomResize -> RandomCrop exactly: same pixels,
+    same labels, same rng state afterwards (the fused path only computes
+    the cropped window of the virtual resize — native
+    resize_bicubic_window_u8)."""
+    from contrastiveseg_tpu.data.transforms import FusedResizeCrop
+
+    rng0 = np.random.default_rng(7)
+    img = rng0.integers(0, 255, (211, 403, 3), dtype=np.uint8)
+    lab = rng0.integers(-1, 19, (211, 403)).astype(np.int32)
+    cases = [
+        ((0.5, 2.0), "random", 1.0, 1.0),
+        ((0.3, 0.8), "random", 1.0, 1.0),   # crop covers whole image
+        ((0.5, 2.0), "center", 1.0, 1.0),
+        ((0.5, 2.0), "random", 0.5, 0.5),   # ratio gates skip paths
+    ]
+    for seed in range(12):
+        for scale_range, method, ratio_r, ratio_c in cases:
+            rr = RandomResize(scale_range=scale_range,
+                              aspect_range=(0.9, 1.1), ratio=ratio_r)
+            rc = RandomCrop(crop_size=(256, 128), method=method,
+                            ratio=ratio_c)
+            s = {"image": img, "label": lab}
+            r1 = np.random.default_rng(seed)
+            r2 = np.random.default_rng(seed)
+            a = Compose([rr, rc])(dict(s), r1)
+            b = FusedResizeCrop(rr, rc)(dict(s), r2)
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["label"], b["label"])
+            assert r1.random() == r2.random()
+
+
+def test_build_train_transforms_fuses_adjacent_resize_crop():
+    from contrastiveseg_tpu.data.transforms import (
+        FusedResizeCrop, build_train_transforms)
+    from contrastiveseg_tpu.presets import get_preset
+
+    cfg = get_preset("cityscapes_hrnet_w48_mem")
+    tf = build_train_transforms(cfg)
+    assert isinstance(tf.transforms[0], FusedResizeCrop)
+    cfg2 = get_preset("cityscapes_hrnet_w48_mem").updated(
+        "data.fuse_resize_crop", False)
+    tf2 = build_train_transforms(cfg2)
+    assert not any(isinstance(t, FusedResizeCrop) for t in tf2.transforms)
+
+
+def test_photometric_lut_paths_bit_identical():
+    """The uint8 LUT fast paths of RandomBrightness/RandomContrast equal
+    the float formulas for every uint8 value."""
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)[..., None].repeat(
+        3, -1)
+    for seed in range(10):
+        r1 = np.random.default_rng(seed)
+        out = RandomBrightness(shift_value=30, ratio=1.0)(
+            {"image": img}, r1)["image"]
+        r2 = np.random.default_rng(seed)
+        r2.random()
+        shift = int(r2.integers(-30, 31))
+        ref = np.clip(np.around(img.astype(np.float32) + shift),
+                      0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(out, ref)
+
+        from contrastiveseg_tpu.data.transforms import RandomContrast
+
+        r1 = np.random.default_rng(seed)
+        out = RandomContrast(ratio=1.0)({"image": img}, r1)["image"]
+        r2 = np.random.default_rng(seed)
+        r2.random()
+        f = r2.uniform(0.5, 1.5)
+        ref = np.clip(img.astype(np.float32) * f, 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_normalizer_native_path_bit_identical():
+    from contrastiveseg_tpu.data.transforms import Normalizer
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    n = Normalizer()
+    a = n(img)
+    x = img.astype(np.float32) / n.div_value
+    np.testing.assert_array_equal(a, (x - n.mean) / n.std)
+    assert a.dtype == np.float32
+
+
+def test_pipeline_workers_deterministic():
+    """Thread-pool workers produce the identical batch stream as the
+    in-process path (per-batch SeedSequence rng)."""
+    ds = SyntheticSegDataset(num_classes=5, size_hw=(40, 56), length=12)
+    kw = dict(
+        batch_size=2,
+        transforms=Compose([
+            RandomResize(scale_range=(0.7, 1.4)),
+            RandomCrop(crop_size=(48, 32)),
+            RandomHFlip(ratio=0.5),
+        ]),
+        collate_kwargs={"size_mode": "fix_size", "input_size": (48, 32),
+                        "align_method": "only_pad", "pad_mode": "random"},
+        seed=5,
+    )
+    solo = list(DataPipeline(ds, num_workers=0, **kw).epoch_iter(0))
+    pooled = list(DataPipeline(ds, num_workers=3, **kw).epoch_iter(0))
+    assert len(solo) == len(pooled) == 6
+    for a, b in zip(solo, pooled):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_collate_fused_normalize_pad_bit_identical():
+    """collate(normalizer=...) on uint8 samples ==
+    collate() on eagerly-normalized float samples, bit for bit, for both
+    padded and exact-size samples and every pad mode."""
+    from contrastiveseg_tpu.data.transforms import Normalizer
+
+    norm = Normalizer()
+    rng0 = np.random.default_rng(11)
+    for pad_mode in ("random", "pad_left_up", "pad_center", "pad_border"):
+        samples_u8 = []
+        for i, hw in enumerate([(32, 48), (30, 41), (32, 48)]):
+            img = rng0.integers(0, 255, (*hw, 3), dtype=np.uint8)
+            lab = rng0.integers(-1, 5, hw).astype(np.int32)
+            samples_u8.append({"image": img, "label": lab})
+        samples_f32 = [
+            {"image": norm(s["image"]), "label": s["label"]}
+            for s in samples_u8
+        ]
+        kw = dict(size_mode="fix_size", input_size=(48, 32),
+                  align_method="only_pad", pad_mode=pad_mode)
+        a = collate(samples_f32, rng=np.random.default_rng(3), **kw)
+        b = collate(samples_u8, rng=np.random.default_rng(3),
+                    normalizer=norm, **kw)
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+        assert b["image"].dtype == np.float32

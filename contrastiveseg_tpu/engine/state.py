@@ -39,6 +39,66 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def restore_eval_state(
+    cfg,
+    model,
+    input_hw: tuple[int, int],
+    checkpoint: str | None = None,
+    batch: int = 1,
+) -> TrainState:
+    """A TrainState for inference/export: init at ``input_hw``, then
+    restore ``checkpoint`` (an orbax dir written by CheckpointManager) if
+    given.  The optimizer is built from cfg so the checkpoint's opt_state
+    template matches even though eval never uses it."""
+    import os
+
+    from contrastiveseg_tpu.engine.optim import build_optimizer
+
+    k_params, k_drop, k_bank, k_state = jax.random.split(
+        jax.random.PRNGKey(0), 4)
+    variables = model.init(
+        {"params": k_params, "dropout": k_drop},
+        jnp.zeros((batch, *input_hw, 3), jnp.float32), train=True)
+    params = variables["params"]
+    try:
+        tx = build_optimizer(cfg, params)
+    except KeyError:
+        # Config without a solver block (random-init export): the
+        # opt_state template only matters when restoring a training
+        # checkpoint, which always carries full solver config.
+        if checkpoint:
+            raise
+        tx = optax.identity()
+    bank = None
+    if cfg.get("contrast.with_memory", default=False):
+        bank = init_memory_bank(
+            k_bank,
+            cfg.get("data.num_classes"),
+            cfg.get("contrast.memory_size", default=5000),
+            cfg.get("contrast.proj_dim", default=256),
+        )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        bank=bank,
+        rng=k_state,
+        tx=tx,
+    )
+    if checkpoint:
+        from contrastiveseg_tpu.engine.checkpoint import CheckpointManager
+
+        name = cfg.get("checkpoints.checkpoints_name", default="model")
+        if os.path.basename(checkpoint).startswith(f"{name}_"):
+            mgr = CheckpointManager(os.path.dirname(checkpoint), name)
+            state = mgr.restore(state, path=checkpoint)
+        else:
+            mgr = CheckpointManager(checkpoint, name)
+            state = mgr.restore(state)
+    return state
+
+
 def create_train_state(
     cfg,
     model,

@@ -67,3 +67,68 @@ def test_export_dynamic_batch(exported_pair):
         out = np.asarray(reloaded.call(jax.numpy.asarray(x)))
         assert out.shape == (n, 32, 32, 5)
         assert np.isfinite(out).all()
+
+
+def test_http_serving_roundtrip(tmp_path, exported_pair):
+    """tools/serve.py over an exported artifact: healthz + a segment
+    request through a real HTTP socket."""
+    import http.client
+    import io
+    import json
+    import sys
+    import threading
+
+    cfg, fwd = exported_pair
+    spec = jax.ShapeDtypeStruct((1, 32, 32, 3), np.float32)
+    exported = jax.export.export(jax.jit(fwd))(spec)
+    art = str(tmp_path / "art")
+    with open(art + ".stablehlo", "wb") as f:
+        f.write(exported.serialize())
+    with open(art + ".json", "w") as f:
+        json.dump({
+            "input": {"shape": [1, 32, 32, 3]},
+            "normalize": {"div_value": 255.0,
+                          "mean": [0.485, 0.456, 0.406],
+                          "std": [0.229, 0.224, 0.225]},
+            "num_classes": 5,
+        }, f)
+
+    sys.path.insert(0, "tools")
+    import serve as serve_mod
+
+    runner = serve_mod.ArtifactRunner(art)
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                serve_mod.make_handler(runner))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok"
+
+        img = np.random.default_rng(0).integers(
+            0, 255, (32, 32, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, img)
+        conn.request("POST", "/segment", body=buf.getvalue())
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        labels = np.load(io.BytesIO(resp.read()), allow_pickle=False)
+        assert labels.shape == (32, 32) and labels.dtype == np.int32
+        assert labels.max() < 5
+
+        # Matches the direct artifact call.
+        direct = runner.segment(img)
+        np.testing.assert_array_equal(labels, direct)
+
+        # Malformed body -> 400, server stays alive.
+        conn.request("POST", "/segment", body=b"not npy")
+        assert conn.getresponse().status == 400
+        conn.request("GET", "/healthz")
+        assert json.loads(conn.getresponse().read())["status"] == "ok"
+    finally:
+        httpd.shutdown()

@@ -33,6 +33,8 @@ def _state_to_pytree(state: TrainState) -> dict:
     }
     if state.bank is not None:
         tree["bank"] = state.bank._asdict()
+    if state.key_params is not None:
+        tree["key_params"] = state.key_params
     return tree
 
 
@@ -97,6 +99,7 @@ class CheckpointManager:
             opt_state=tree["opt_state"],
             bank=bank,
             rng=jax.random.wrap_key_data(tree["rng"]),
+            key_params=tree.get("key_params", state.key_params),
         )
 
     def has(self, tag: str = "latest") -> bool:

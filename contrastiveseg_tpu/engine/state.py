@@ -27,6 +27,11 @@ class TrainState(struct.PyTreeNode):
     rng: jax.Array
 
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # EMA copy of params for MoCo-style keys (contrast.momentum_encoder).
+    # The reference sketches this (HRNet_W48_MEM._momentum_update_key_encoder,
+    # nets/hrnet.py:173-176) but never instantiates encoder_k, so the
+    # published runs enqueue q.detach(); None keeps that default.
+    key_params: Any = None
 
     def apply_gradients(self, grads, **changes) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -123,6 +128,9 @@ def create_train_state(
             cfg.get("contrast.memory_size", default=5000),
             cfg.get("contrast.proj_dim", default=256),
         )
+    key_params = None
+    if cfg.get("contrast.momentum_encoder", default=False):
+        key_params = jax.tree.map(jnp.array, params)  # EMA starts at q
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -131,4 +139,5 @@ def create_train_state(
         bank=bank,
         rng=k_state,
         tx=tx,
+        key_params=key_params,
     )

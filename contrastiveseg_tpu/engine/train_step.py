@@ -31,6 +31,8 @@ def make_train_step(
     donate: bool = True,
     exact_sampling: bool = False,
     freeze_bn: bool = False,
+    momentum_encoder: bool = False,
+    encoder_momentum: float = 0.999,
 ):
     """Build the jitted train step.
 
@@ -41,6 +43,14 @@ def make_train_step(
     ModuleRunner.freeze_bn (module_runner.py:228-236): BN layers normalize
     with frozen running averages and stop updating stats (dropout and all
     parameter gradients stay live), for the --finetune flow.
+
+    ``momentum_encoder`` enables MoCo-style keys: an EMA copy of the
+    params (state.key_params, momentum ``encoder_momentum``) runs a
+    second, gradient-free forward and the BANK is fed its embeddings
+    instead of q.detach().  The reference sketches exactly this
+    (HRNet_W48_MEM.encoder_k stub + _momentum_update_key_encoder,
+    nets/hrnet.py:173-176) but never instantiates encoder_k, so its
+    published runs use q.detach(); off by default for parity.
     """
     train_flag = "freeze_bn" if freeze_bn else True
 
@@ -69,11 +79,28 @@ def make_train_step(
             state.params
         )
 
+        new_key_params = state.key_params
         new_bank = state.bank
         if state.bank is not None:
             # Reference _dequeue_and_enqueue (trainer_contrastive.py:102-138):
             # keys are the detached embeddings, labels strided (not interp'd).
             keys = jax.lax.stop_gradient(out["embed"])
+            if momentum_encoder and state.key_params is not None:
+                # EMA update from the current query weights (pre-step, MoCo
+                # order: update_key_encoder -> encode keys), then a
+                # gradient-free key forward.  Batch stats are read, not
+                # mutated (the query forward owns them).
+                m = encoder_momentum
+                new_key_params = jax.tree.map(
+                    lambda k, q: k * m + q * (1.0 - m),
+                    state.key_params, state.params)
+                kvars = {"params": new_key_params}
+                if state.batch_stats:
+                    kvars["batch_stats"] = state.batch_stats
+                kout, _ = model.apply(
+                    kvars, images, train=train_flag,
+                    mutable=["batch_stats"], rngs={"dropout": r_drop})
+                keys = jax.lax.stop_gradient(kout["embed"])
             B = keys.shape[0]
             lab_s = subsample_stride(labels, network_stride)
             # Guard shape mismatch from odd sizes.
@@ -89,7 +116,8 @@ def make_train_step(
             )
 
         new_state = state.apply_gradients(
-            grads, batch_stats=new_bs, bank=new_bank, rng=rng
+            grads, batch_stats=new_bs, bank=new_bank, rng=rng,
+            key_params=new_key_params,
         )
         return new_state, metrics
 

@@ -126,6 +126,10 @@ class Trainer:
             donate=cfg.get("network.donate", default=True),
             exact_sampling=cfg.get("contrast.exact_sampling", default=False),
             freeze_bn=cfg.get("network.freeze_bn", default=False),
+            momentum_encoder=cfg.get(
+                "contrast.momentum_encoder", default=False),
+            encoder_momentum=cfg.get(
+                "contrast.encoder_momentum", default=0.999),
         )
         # plateau LR: val-metric-driven scale (engine/optim.py:PlateauController).
         self.plateau = None

@@ -148,3 +148,80 @@ def test_overfit_with_contrast_memory_loss():
         out["seg"], (labels.shape[1], labels.shape[2]))
     miou = _miou(np.argmax(np.asarray(seg), -1), labels)
     assert miou >= 0.95, f"train mIoU {miou:.3f} with contrast+memory loss"
+
+
+def test_momentum_encoder_keys():
+    """contrast.momentum_encoder: key_params track an EMA of params
+    (MoCo order: EMA update then key forward) and the bank is fed the
+    KEY encoder's embeddings, not q.detach().
+
+    The reference sketches this but never instantiates encoder_k
+    (nets/hrnet.py:173-176) — here it's an executable opt-in.
+    """
+    import optax
+
+    from contrastiveseg_tpu.engine.state import TrainState
+    from contrastiveseg_tpu.engine.train_step import make_train_step
+    from contrastiveseg_tpu.losses.manager import build_loss
+    from contrastiveseg_tpu.ops.queue import init_memory_bank
+    from contrastiveseg_tpu.utils.config import Config
+
+    rng = np.random.default_rng(5)
+    images, labels = _fixture_batch(rng)
+    model = HRNetSeg(num_classes=C, arch="hrnet8_test", with_proj=True)
+    cfg = Config.from_args(overrides=[
+        f"data.num_classes={C}",
+        "loss.loss_type=mem_contrast_ce_loss",
+        "loss.params.ce_weight=None", "loss.params.ce_ignore_index=-1",
+        "contrast.temperature=0.07", "contrast.base_temperature=0.07",
+        "contrast.max_samples=64", "contrast.max_views=8",
+        "contrast.loss_weight=0.1", "contrast.with_memory=true",
+        "contrast.memory_size=32", "contrast.proj_dim=256",
+        "network.stride=4",
+    ])
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, images,
+                           train=True)
+    tx = optax.sgd(1e-2)
+
+    def make_state():
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            bank=init_memory_bank(key, C, 32, 256),
+            rng=key,
+            tx=tx,
+            key_params=jax.tree.map(jnp.array, variables["params"]),
+        )
+
+    m = 0.5
+    step = make_train_step(model, build_loss(cfg), warmup_iters=0,
+                           network_stride=4, pixel_update_freq=4,
+                           donate=False, momentum_encoder=True,
+                           encoder_momentum=m)
+    s1, _ = step(make_state(), {"image": images, "label": labels})
+
+    # EMA formula (first step: key == params before the optimizer update,
+    # so EMA stays at the init weights exactly).
+    leaf = lambda t: np.asarray(
+        jax.tree_util.tree_leaves(t)[0])
+    np.testing.assert_allclose(
+        leaf(s1.key_params), leaf(variables["params"]), atol=1e-7)
+    s2, _ = step(s1, {"image": images, "label": labels})
+    expect = leaf(s1.key_params) * m + leaf(s1.params) * (1 - m)
+    np.testing.assert_allclose(leaf(s2.key_params), expect, atol=1e-6)
+
+    # Keys come from the key encoder: with the same seed but momentum off,
+    # the first-step bank differs (q.detach() vs EMA forward) only after
+    # params diverge — compare step 2 banks.
+    step_plain = make_train_step(model, build_loss(cfg), warmup_iters=0,
+                                 network_stride=4, pixel_update_freq=4,
+                                 donate=False)
+    p1, _ = step_plain(make_state(), {"image": images, "label": labels})
+    p2, _ = step_plain(p1, {"image": images, "label": labels})
+    assert not np.allclose(
+        np.asarray(s2.bank.pixel_queue), np.asarray(p2.bank.pixel_queue))
+    # Both produce finite, advancing queues.
+    assert int(np.asarray(s2.bank.segment_ptr).sum()) > 0

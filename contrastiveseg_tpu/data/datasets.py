@@ -170,9 +170,28 @@ class DirectorySegDataset:
     def __len__(self) -> int:
         return len(self.items)
 
+    @staticmethod
+    def _read_cached(path: str) -> Optional[np.ndarray]:
+        """Raw decoded array from the .npy_cache sidecar dir, if fresh.
+
+        PNG decode of a 1024x2048 Cityscapes frame costs 50-100 ms/img on
+        one core — re-paid every epoch by the reference.  `python
+        tools/cache_dataset.py` decodes once into `.npy_cache/`; mmap'd
+        reads cost ~0.2 ms.  Stale caches (source newer) are ignored."""
+        cache = os.path.join(os.path.dirname(path), ".npy_cache",
+                             os.path.basename(path) + ".npy")
+        try:
+            if os.path.getmtime(cache) >= os.path.getmtime(path):
+                return np.ascontiguousarray(np.load(cache, mmap_mode="r"))
+        except OSError:
+            pass
+        return None
+
     def __getitem__(self, idx: int) -> dict:
         img_path, lab_path = self.items[idx]
-        image = np.asarray(Image.open(img_path).convert("RGB"))
+        image = self._read_cached(img_path)
+        if image is None:
+            image = np.asarray(Image.open(img_path).convert("RGB"))
         sample = {
             "image": image,
             "meta": {
@@ -182,7 +201,10 @@ class DirectorySegDataset:
             },
         }
         if lab_path is not None:
-            label = np.asarray(Image.open(lab_path)).astype(np.int64)
+            label = self._read_cached(lab_path)
+            if label is None:
+                label = np.asarray(Image.open(lab_path))
+            label = label.astype(np.int64)
             if label.ndim == 3:
                 label = label[..., 0]
             sample["meta"]["ori_target"] = label.copy()

@@ -558,3 +558,50 @@ def test_collate_fused_normalize_pad_bit_identical():
         np.testing.assert_array_equal(a["image"], b["image"])
         np.testing.assert_array_equal(a["label"], b["label"])
         assert b["image"].dtype == np.float32
+
+
+def test_npy_cache_roundtrip(tmp_path):
+    """tools/cache_dataset.py + DirectorySegDataset._read_cached: cached
+    reads return the identical sample; stale caches are ignored."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from PIL import Image
+
+    from contrastiveseg_tpu.data.datasets import DirectorySegDataset
+
+    root = tmp_path / "ds"
+    for sub in ("image", "label"):
+        (root / "train" / sub).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+    lab = rng.integers(0, 5, (40, 56), dtype=np.uint8)
+    Image.fromarray(img).save(root / "train" / "image" / "a.png")
+    Image.fromarray(lab).save(root / "train" / "label" / "a.png")
+
+    ds = DirectorySegDataset(str(root), "train")
+    before = ds[0]
+
+    out = subprocess.run(
+        [sys.executable, "tools/cache_dataset.py", "--root", str(root),
+         "--splits", "train"],
+        capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert (root / "train" / "image" / ".npy_cache" / "a.png.npy").exists()
+
+    after = ds[0]
+    np.testing.assert_array_equal(before["image"], after["image"])
+    np.testing.assert_array_equal(before["label"], after["label"])
+    # The cached read really was taken.
+    assert ds._read_cached(str(root / "train" / "image" / "a.png")) is not None
+
+    # Stale cache (source newer) is ignored.
+    time.sleep(0.05)
+    img2 = rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+    p = root / "train" / "image" / "a.png"
+    Image.fromarray(img2).save(p)
+    os.utime(p)
+    assert ds._read_cached(str(p)) is None
+    np.testing.assert_array_equal(ds[0]["image"], img2)

@@ -394,6 +394,32 @@ def main() -> None:
         # child and retry, so the driver always gets a JSON line.
         import subprocess
 
+        # The relay itself can be down for a while (observed: backend init
+        # hangs or raises UNAVAILABLE for tens of minutes).  Probe with a
+        # trivial op and wait before burning ladder attempts on a dead
+        # backend.  BENCH_WAIT_TPU_S=0 disables.
+        wait_budget = int(os.environ.get("BENCH_WAIT_TPU_S", "1800"))
+        probe = ("import jax, jax.numpy as jnp; "
+                 "print(jax.device_get(jnp.ones((2,2)) @ jnp.ones((2,2)))"
+                 ".sum())")
+        waited = 0.0
+        while wait_budget > 0:
+            try:
+                r = subprocess.run([sys.executable, "-c", probe],
+                                   capture_output=True, timeout=600)
+                if r.returncode == 0:
+                    break
+            except subprocess.TimeoutExpired:
+                pass
+            if waited >= wait_budget:
+                print("# TPU backend unavailable after "
+                      f"{waited:.0f}s of probing", file=sys.stderr)
+                break
+            print("# TPU backend not answering; retrying in 120s",
+                  file=sys.stderr)
+            time.sleep(120)
+            waited += 720  # probe timeout + sleep
+
         base_args = []
         skip = False
         for a in sys.argv[1:]:
@@ -442,6 +468,18 @@ def main() -> None:
 
         try:
             jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        # Reuse the test suite's persistent compile cache: the W48 step
+        # takes 10+ min to compile cold on this host's single core.
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_TEST_CACHE_DIR",
+                               os.path.expanduser(
+                                   "~/.cache/jax_test_compcache")))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 5.0)
         except Exception:
             pass
         hw = (64, 128)

@@ -94,3 +94,36 @@ def test_video_helper_roundtrip(tmp_path):
     out = tmp_path / "back"
     assert VideoHelper.video2frames(vid, str(out)) == 3
     assert len(list(out.iterdir())) == 3
+
+
+def test_profile_step_trace_parsing(tmp_path):
+    """tools/profile_step.py trace aggregation: XLA-ish complete events
+    aggregate by name with source attribution; non-XLA events drop."""
+    import gzip
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    import profile_step as ps
+
+    trace = {"traceEvents": [
+        {"ph": "X", "name": "fusion.1", "dur": 100.0,
+         "args": {"source": "hrnet.py:42"}},
+        {"ph": "X", "name": "fusion.1", "dur": 50.0, "args": {}},
+        {"ph": "X", "name": "convolution.7", "dur": 200.0, "args": {}},
+        {"ph": "X", "name": "python_call", "dur": 999.0, "args": {}},
+        {"ph": "M", "name": "fusion.1", "args": {}},
+    ]}
+    d = tmp_path / "plugins" / "profile"
+    d.mkdir(parents=True)
+    with gzip.open(d / "host.trace.json.gz", "wt") as f:
+        json.dump(trace, f)
+
+    events = ps.collect_trace_events(str(tmp_path))
+    assert len(events) == 5
+    agg = ps.device_op_durations(events)
+    assert agg["fusion.1"]["total_us"] == 150.0
+    assert agg["fusion.1"]["count"] == 2
+    assert agg["fusion.1"]["source"] == "hrnet.py:42"
+    assert agg["convolution.7"]["total_us"] == 200.0
+    assert "python_call" not in agg  # not an XLA op

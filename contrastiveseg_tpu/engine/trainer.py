@@ -212,6 +212,25 @@ class Trainer:
             except (ValueError, OSError):
                 pass
 
+    def _device_prefetch(self, it, size: int):
+        """Yield device-placed {image, label} batches, keeping up to
+        ``size`` in flight so H2D transfer overlaps the running step."""
+        from collections import deque
+
+        def place(batch):
+            b = {"image": batch["image"], "label": batch["label"]}
+            if self.mesh is not None:
+                return shard_batch(b, self.mesh)
+            return jax.device_put(b)
+
+        buf: deque = deque()
+        for batch in it:
+            buf.append(place(batch))
+            while len(buf) > size:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()
+
     def train(self, max_iters: Optional[int] = None) -> dict:
         cfg = self.cfg
         max_iters = max_iters or cfg.get("solver.max_iters", default=40000)
@@ -222,7 +241,13 @@ class Trainer:
         prev_handlers = self._install_preempt_handlers()
 
         pipeline = build_pipeline(cfg, "train")
-        data_iter = iter(pipeline)
+        # Device-side prefetch: start the host->device copy (or mesh
+        # sharding) of the NEXT batch while the current step executes
+        # (jax dispatch is async, so device_put overlaps compute).  Depth
+        # 1 suffices to hide a 48 MB fp32 batch transfer; 0 places each
+        # batch synchronously.
+        data_iter = self._device_prefetch(
+            iter(pipeline), cfg.get("train.device_prefetch", default=1))
 
         # SWA trigger schedule (reference trainer_contrastive.py:185-187,
         # 291-296): average at 5 evenly spaced points in the last 25% of
@@ -242,14 +267,11 @@ class Trainer:
         step0 = int(self.state.step)
         for it in range(step0, max_iters):
             td0 = time.time()
-            batch = next(data_iter)
-            b = {"image": batch["image"], "label": batch["label"]}
-            if self.mesh is not None:
-                b = shard_batch(b, self.mesh)
+            batch = next(data_iter)  # already device-placed/sharded
             t_data += time.time() - td0
 
             ts0 = time.time()
-            self.state, metrics = self.train_step(self.state, b)
+            self.state, metrics = self.train_step(self.state, batch)
             if (it + 1) % display_iter == 0:
                 metrics = jax.device_get(metrics)  # sync point
                 t_step += time.time() - ts0

@@ -78,24 +78,40 @@ class Evaluator:
         self.shard_fn = shard_fn
 
     def run(self, params, batch_stats, batches) -> dict:
+        from collections import deque
+
         self.score.reset()
         n_images = 0
         t0 = time.time()
+        # jax dispatch is async: keep a couple of confusion matrices in
+        # flight so the device computes batch i+1 while the host reads
+        # and accumulates batch i (np.asarray is the sync point).
+        pending: deque = deque()
+
+        def drain(limit: int) -> None:
+            nonlocal n_images
+            while len(pending) > limit:
+                cm, k = pending.popleft()
+                self.score.update_confusion(np.asarray(cm))
+                n_images += k
+
         for batch in batches:
             if isinstance(batch["image"], (list, tuple)):
                 # diverse_size: one program per padded image shape.
                 for img, lab in zip(batch["image"], batch["label"]):
-                    cm = self.val_step(params, batch_stats,
-                                       img[None], lab[None])
-                    self.score.update_confusion(np.asarray(cm))
-                    n_images += 1
+                    pending.append(
+                        (self.val_step(params, batch_stats,
+                                       img[None], lab[None]), 1))
+                    drain(2)
                 continue
             b = {"image": batch["image"], "label": batch["label"]}
             if self.shard_fn is not None:
                 b = self.shard_fn(b)
-            cm = self.val_step(params, batch_stats, b["image"], b["label"])
-            self.score.update_confusion(np.asarray(cm))
-            n_images += batch["image"].shape[0]
+            pending.append(
+                (self.val_step(params, batch_stats, b["image"], b["label"]),
+                 batch["image"].shape[0]))
+            drain(2)
+        drain(0)
         scores = self.score.get_scores()
         scores["images_per_sec"] = n_images / max(time.time() - t0, 1e-9)
         return scores

@@ -320,6 +320,72 @@ def run_input_bench(num_workers: int, batches: int = 20) -> None:
     }))
 
 
+def run_serve_bench(args) -> None:
+    """Inference throughput through the serving artifact (jax.export
+    serialize -> deserialize -> call) vs the live jitted forward, same
+    backend, same shapes — the numbers should match to noise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from contrastiveseg_tpu.engine.state import restore_eval_state
+    from contrastiveseg_tpu.models.nets import build_model
+    from contrastiveseg_tpu.ops.resize import resize_bilinear_align_corners
+    from contrastiveseg_tpu.presets import get_preset
+
+    if args.dry:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        hw, batch, steps = (64, 128), args.batch or 1, min(args.steps, 3)
+        backbone = "hrnet18"
+    else:
+        hw, batch, steps = (512, 1024), args.batch or 8, args.steps
+        backbone = None
+
+    cfg = get_preset("cityscapes_hrnet_w48_contrast")
+    if backbone:
+        cfg = cfg.updated("network.backbone", backbone)
+    model = build_model(cfg)
+    state = restore_eval_state(cfg, model, hw, batch=batch)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    def fwd(images):
+        out = model.apply(variables, images, train=False)
+        seg = out["seg"] if isinstance(out, dict) else out
+        return resize_bilinear_align_corners(seg, hw)
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch, *hw, 3)).astype(np.float32))
+
+    live = jax.jit(fwd)
+    spec = jax.ShapeDtypeStruct((batch, *hw, 3), np.float32)
+    served = jax.export.deserialize(
+        jax.export.export(jax.jit(fwd))(spec).serialize())
+
+    def measure(fn):
+        jax.device_get(fn(x))  # warm/compile
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            y = fn(x)
+        jax.device_get(y)
+        return batch * steps / (time.perf_counter() - t0)
+
+    r_live = measure(live)
+    r_served = measure(served.call)
+    print(json.dumps({
+        "metric": "serving_artifact_inference_imgs_per_sec",
+        "value": round(r_served, 2),
+        "unit": "img/s",
+        "vs_baseline": round(r_served / max(r_live, 1e-9), 3),
+        "live_imgs_per_sec": round(r_live, 2),
+        "batch": batch,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry", action="store_true", help="tiny CPU shapes")
@@ -381,10 +447,18 @@ def main() -> None:
                          "no TPU) in img/s per core")
     ap.add_argument("--input-workers", type=int, default=0,
                     help="data.workers thread-pool size for --input")
+    ap.add_argument("--serve", action="store_true",
+                    help="benchmark inference THROUGH a jax.export "
+                         "serialize->deserialize roundtrip (the serving "
+                         "artifact path) vs the live jitted eval forward "
+                         "— proves the exported graph costs nothing")
     args = ap.parse_args()
 
     if args.input:
         run_input_bench(args.input_workers, args.steps)
+        return
+    if args.serve:
+        run_serve_bench(args)
         return
 
     if not args.worker and not args.dry:

@@ -99,6 +99,10 @@ class Trainer:
                     pixel_ptr=jnp.asarray(q["pixel_ptr"], jnp.int32),
                 )
                 self.log.info(f"seeded memory bank from {qpath}")
+        key_params = None
+        if cfg.get("contrast.momentum_encoder", default=False):
+            # MoCo-style EMA key encoder starts as a copy of the query.
+            key_params = jax.tree.map(jnp.array, variables["params"])
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],
@@ -107,6 +111,7 @@ class Trainer:
             bank=bank,
             rng=k_state,
             tx=tx,
+            key_params=key_params,
         )
         if self.mesh is not None:
             self.state = shard_state(

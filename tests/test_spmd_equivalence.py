@@ -81,7 +81,10 @@ def test_mesh_step_matches_single_device(tmp_path):
     assert worst < 1e-2, f"batch-stat divergence {worst}"
 
 
-def test_mesh_step_matches_single_device_full_mem_contrast(tmp_path):
+@pytest.mark.parametrize("momentum", [False, True],
+                         ids=["detached_keys", "momentum_encoder"])
+def test_mesh_step_matches_single_device_full_mem_contrast(
+        tmp_path, momentum):
     """VERDICT r2 missing #2: mesh-vs-solo equivalence through the FULL
     mem-contrast loss (warmup gate OPEN) including the post-step memory
     bank (queues + ring pointers).
@@ -92,6 +95,9 @@ def test_mesh_step_matches_single_device_full_mem_contrast(tmp_path):
     indices a pure function of the rng key and labels.  With that, the
     mesh step must reproduce the solo step: loss (contrast term included),
     params, and the bank — pointers bit-exact, queue rows to fp noise.
+
+    The ``momentum_encoder`` variant additionally runs the EMA key
+    encoder inside the mesh step and checks key_params equality.
     """
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh (run via ./run_tests.sh)")
@@ -102,6 +108,9 @@ def test_mesh_step_matches_single_device_full_mem_contrast(tmp_path):
         c = _cfg(tmp_path, tag)
         c = c.updated("contrast.warmup_iters", 0)  # contrast term LIVE
         c = c.updated("contrast.exact_sampling", True)
+        if momentum:
+            c = c.updated("contrast.momentum_encoder", True)
+            c = c.updated("contrast.encoder_momentum", 0.5)
         return c
 
     t_mesh = Trainer(cfg("mesh_mem"), use_mesh=True)
@@ -157,3 +166,11 @@ def test_mesh_step_matches_single_device_full_mem_contrast(tmp_path):
         b = np.asarray(getattr(bank_s, name))
         np.testing.assert_allclose(a, b, atol=2e-3, rtol=0,
                                    err_msg=f"bank {name} diverged")
+
+    if momentum:
+        # EMA key params advanced identically on mesh and solo.
+        ka = jax.device_get(s_mesh.key_params)
+        kb = jax.device_get(s_solo.key_params)
+        la = np.asarray(jax.tree_util.tree_leaves(ka)[0])
+        lb = np.asarray(jax.tree_util.tree_leaves(kb)[0])
+        np.testing.assert_allclose(la, lb, atol=5e-3, rtol=0)

@@ -33,6 +33,7 @@ def make_train_step(
     freeze_bn: bool = False,
     momentum_encoder: bool = False,
     encoder_momentum: float = 0.999,
+    grad_accum_steps: int = 1,
 ):
     """Build the jitted train step.
 
@@ -51,6 +52,21 @@ def make_train_step(
     (HRNet_W48_MEM.encoder_k stub + _momentum_update_key_encoder,
     nets/hrnet.py:173-176) but never instantiates encoder_k, so its
     published runs use q.detach(); off by default for parity.
+
+    ``grad_accum_steps`` (beyond-parity; the reference scales batch only
+    by adding GPUs) splits the batch into that many microbatches and
+    lax.scan's the forward/backward, applying the MEAN gradient once —
+    activation memory scales with the microbatch, so one v5e chip can
+    train effective batch sizes that OOM as a single program (bench notes:
+    batch 16 OOMs).  Semantics mirror reference multi-GPU DDP: the loss
+    is a mean of per-microbatch means (= per-rank means under DDP), every
+    microbatch's contrast negatives come from the step-initial queue
+    (= the pre-step per-rank replica), enqueues chain sequentially, and
+    BN stats chain micro-to-micro (an EMA over microbatches rather than
+    one full-batch estimate — same divergence DDP's unsynced per-rank
+    momentum updates have).  The optimizer step, LR schedule, warmup gate,
+    and EMA key-encoder update all fire once per call, exactly like the
+    B-sized single-program step.
     """
     train_flag = "freeze_bn" if freeze_bn else True
 
@@ -121,7 +137,96 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    def train_step_accum(state: TrainState, batch: dict):
+        """Microbatched variant (grad_accum_steps > 1); see the factory
+        docstring for the exact semantics vs the single-program step."""
+        rng, r_step = jax.random.split(state.rng)
+        images, labels = batch["image"], batch["label"]
+        with_embed = state.step >= warmup_iters
+        A = grad_accum_steps
+        B = images.shape[0]
+        if B % A != 0:
+            raise ValueError(
+                f"batch size {B} not divisible by grad_accum_steps {A}"
+            )
+        imgs = images.reshape(A, B // A, *images.shape[1:])
+        labs = labels.reshape(A, B // A, *labels.shape[1:])
+        micro_keys = jax.random.split(r_step, 3 * A).reshape(A, 3)
+
+        # EMA key-encoder update fires ONCE per optimizer step (MoCo order:
+        # update, then encode keys) — every microbatch's keys come from the
+        # same post-update encoder.
+        new_key_params = state.key_params
+        key_fwd_params = None
+        if momentum_encoder and state.key_params is not None:
+            m = encoder_momentum
+            new_key_params = jax.tree.map(
+                lambda k, q: k * m + q * (1.0 - m),
+                state.key_params, state.params)
+            key_fwd_params = new_key_params
+
+        def loss_of(params, bs, img, lab, r_drop, r_sample):
+            variables = {"params": params}
+            if bs:
+                variables["batch_stats"] = bs
+            out, mut = model.apply(
+                variables, img, train=train_flag,
+                mutable=["batch_stats"], rngs={"dropout": r_drop},
+            )
+            # Negatives come from the STEP-INITIAL bank for every
+            # microbatch (what each DDP rank sees pre-step).
+            loss, metrics = loss_fn(
+                r_sample, out, lab, with_embed, state.bank
+            )
+            return loss, (mut.get("batch_stats", {}), metrics, out)
+
+        def body(carry, xs):
+            bs, bank, gacc = carry
+            img, lab, ks = xs
+            r_drop, r_sample, r_queue = ks[0], ks[1], ks[2]
+            grads, (new_bs, metrics, out) = jax.grad(
+                loss_of, has_aux=True
+            )(state.params, bs, img, lab, r_drop, r_sample)
+            new_bank = bank
+            if bank is not None:
+                keys_e = jax.lax.stop_gradient(out["embed"])
+                if key_fwd_params is not None:
+                    kvars = {"params": key_fwd_params}
+                    if bs:
+                        kvars["batch_stats"] = bs
+                    kout, _ = model.apply(
+                        kvars, img, train=train_flag,
+                        mutable=["batch_stats"], rngs={"dropout": r_drop})
+                    keys_e = jax.lax.stop_gradient(kout["embed"])
+                b = keys_e.shape[0]
+                lab_s = subsample_stride(lab, network_stride)
+                lab_s = lab_s[:, : keys_e.shape[1], : keys_e.shape[2]]
+                new_bank = enqueue(
+                    bank, r_queue,
+                    keys_e.reshape(b, -1, keys_e.shape[-1]),
+                    lab_s.reshape(b, -1),
+                    pixel_update_freq=pixel_update_freq,
+                    include_class0=queue_include_class0,
+                    exact_sampling=exact_sampling,
+                )
+            gacc = jax.tree.map(jnp.add, gacc, grads)
+            return (new_bs, new_bank, gacc), metrics
+
+        gzero = jax.tree.map(jnp.zeros_like, state.params)
+        (final_bs, final_bank, gsum), metrics_stack = jax.lax.scan(
+            body, (state.batch_stats, state.bank, gzero),
+            (imgs, labs, micro_keys),
+        )
+        grads = jax.tree.map(lambda g: g / A, gsum)
+        metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics_stack)
+        new_state = state.apply_gradients(
+            grads, batch_stats=final_bs, bank=final_bank, rng=rng,
+            key_params=new_key_params,
+        )
+        return new_state, metrics
+
+    fn = train_step_accum if grad_accum_steps > 1 else train_step
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model):

@@ -135,6 +135,8 @@ class Trainer:
                 "contrast.momentum_encoder", default=False),
             encoder_momentum=cfg.get(
                 "contrast.encoder_momentum", default=0.999),
+            grad_accum_steps=cfg.get(
+                "solver.grad_accum_steps", default=1),
         )
         # plateau LR: val-metric-driven scale (engine/optim.py:PlateauController).
         self.plateau = None

@@ -103,10 +103,23 @@ def enqueue(
 
     seg_offset = jnp.cumsum(present.astype(jnp.int32), axis=0) - present  # excl
     seg_rows = (bank.segment_ptr[None, :] + seg_offset) % M  # [B, C]
+    # Ring-collision discipline: when a class writes more than M rows in one
+    # batch, row (ptr+p)%M is finally owned by the LAST write with that
+    # residue — exactly the writes at positions p >= total-M (each residue
+    # occurs once per window of M consecutive positions).  Masking the rest
+    # keeps the scatter free of duplicate indices (XLA .at[].set with
+    # duplicates is order-UNDEFINED) and bit-matches sequential semantics.
+    seg_total = jnp.sum(present, axis=0).astype(jnp.int32)  # [C]
+    seg_live = present & (seg_offset >= (seg_total - M)[None, :])
     c_rows = jnp.broadcast_to(jnp.arange(C)[None, :], (B, C))
-    old = bank.segment_queue[c_rows, seg_rows]
-    seg_q = bank.segment_queue.at[c_rows, seg_rows].set(
-        jnp.where(present[..., None], mean.astype(bank.segment_queue.dtype), old)
+    # Dead writes are routed to a trash row (index M of an M+1 padded
+    # queue, sliced off afterwards) so the scatter sees each LIVE row index
+    # exactly once — never a live/dead index collision.
+    seg_rows_w = jnp.where(seg_live, seg_rows, M)
+    seg_q = (
+        jnp.pad(bank.segment_queue, ((0, 0), (0, 1), (0, 0)))
+        .at[c_rows, seg_rows_w]
+        .set(mean.astype(bank.segment_queue.dtype))[:, :M]
     )
     seg_p = (bank.segment_ptr + jnp.sum(present, axis=0).astype(jnp.int32)) % M
 
@@ -132,13 +145,20 @@ def enqueue(
     pix_offset = jnp.cumsum(k_count, axis=0) - k_count  # exclusive
     starts = bank.pixel_ptr[None, :] + pix_offset  # [B, C]
     rows = (starts[..., None] + jnp.arange(K)[None, None, :]) % M  # [B, C, K]
+    # Same ring-collision discipline as the segment queue: only the last M
+    # write positions per class survive a wrapping batch; dead writes go to
+    # the trash row so live indices never collide (scatter-order safety).
+    pix_total = jnp.sum(k_count, axis=0).astype(jnp.int32)  # [C]
+    flat_pos = pix_offset[..., None] + jnp.arange(K)[None, None, :]  # [B,C,K]
+    k_live = k_valid & (flat_pos >= (pix_total - M)[None, :, None])
+    rows_w = jnp.where(k_live, rows, M)
     c_rows3 = jnp.broadcast_to(jnp.arange(C)[None, :, None], (B, C, K))
-    old_vals = bank.pixel_queue[c_rows3, rows]
-    pix_q = bank.pixel_queue.at[c_rows3, rows].set(
-        jnp.where(k_valid[..., None], vals.astype(bank.pixel_queue.dtype),
-                  old_vals)
+    pix_q = (
+        jnp.pad(bank.pixel_queue, ((0, 0), (0, 1), (0, 0)))
+        .at[c_rows3, rows_w]
+        .set(vals.astype(bank.pixel_queue.dtype))[:, :M]
     )
-    pix_p = (bank.pixel_ptr + jnp.sum(k_count, axis=0).astype(jnp.int32)) % M
+    pix_p = (bank.pixel_ptr + pix_total) % M
 
     return MemoryBank(seg_q, seg_p, pix_q, pix_p)
 

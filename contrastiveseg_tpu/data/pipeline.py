@@ -79,9 +79,23 @@ class DataPipeline:
         else:
             idx = np.arange(len(self.dataset))
             if self.shuffle:
-                # Same permutation on every host; each host takes its stride.
+                # Same permutation on every host; each host takes its slice.
                 np.random.default_rng(self.seed + epoch).shuffle(idx)
-        return idx[self.shard_index :: self.num_shards]
+        if self.num_shards == 1:
+            return idx
+        # Per-batch CONTIGUOUS host slices: global batch b is
+        # idx[b*G:(b+1)*G] and host p owns rows [p*L:(p+1)*L] of it, so the
+        # global array assembled by shard_batch (process-p devices hold the
+        # p-th block) is bit-identical to the single-process stream — a
+        # strictly stronger property than the reference DistributedSampler's
+        # strided union (same set, permuted order).
+        L, S = self.batch_size, self.num_shards
+        G = L * S
+        nb = len(idx) // G
+        head = idx[: nb * G].reshape(nb, S, L)[:, self.shard_index].reshape(-1)
+        # Remainder (only reachable with drop_last=False): strided split.
+        tail = idx[nb * G :][self.shard_index :: S]
+        return np.concatenate([head, tail])
 
     def _make_batch(self, indices, rng: np.random.Generator) -> dict:
         # Under only_pad + fix-shape modes, uint8 images skip the eager
@@ -193,9 +207,20 @@ def build_pipeline(cfg, split: str = "train", dataset=None) -> DataPipeline:
     if "fit_stride" in td:
         collate_kwargs["fit_stride"] = td["fit_stride"]
     norm = cfg.get("normalize", default={})
+    # Multi-host: `{section}.batch_size` is the GLOBAL batch; each host
+    # produces its 1/process_count slice and shard_batch (parallel/mesh.py)
+    # assembles the global array.  Mirrors the reference's
+    # `batch_size // world_size` (lib/datasets/data_loader.py:137-138).
+    procs = jax.process_count()
+    global_bs = cfg.get(f"{section}.batch_size", default=8)
+    if global_bs % procs != 0:
+        raise ValueError(
+            f"{section}.batch_size={global_bs} not divisible by "
+            f"process_count={procs}")
+    workers = cfg.get("data.workers", default=0)
     return DataPipeline(
         dataset,
-        batch_size=cfg.get(f"{section}.batch_size", default=8),
+        batch_size=global_bs // procs,
         transforms=build_train_transforms(cfg, trans_section),
         normalizer=Normalizer(
             div_value=norm.get("div_value", 255.0),
@@ -205,7 +230,7 @@ def build_pipeline(cfg, split: str = "train", dataset=None) -> DataPipeline:
         shuffle=split == "train",
         drop_last=split == "train",
         collate_kwargs=collate_kwargs,
-        num_shards=jax.process_count(),
+        num_shards=procs,
         shard_index=jax.process_index(),
-        num_workers=cfg.get("data.workers", default=0),
+        num_workers=workers // procs if procs > 1 else workers,
     )

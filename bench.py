@@ -38,7 +38,8 @@ def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
                 remat: bool = False, remat_stem: bool = False,
                 donate: bool = False, pallas_conv: bool = False,
                 lane_pad: bool = False, preset: str | None = None,
-                exact_sampling: bool = False, remat_concat: bool = False):
+                exact_sampling: bool = False, remat_concat: bool = False,
+                grad_accum: int = 1):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -107,6 +108,7 @@ def build_bench(batch: int, hw: tuple[int, int], bf16: bool, memory: bool,
         pixel_update_freq=cfg.get("contrast.pixel_update_freq", default=10),
         donate=donate,
         exact_sampling=exact_sampling,
+        grad_accum_steps=grad_accum,
     )
 
     rng_np = np.random.default_rng(0)
@@ -151,14 +153,14 @@ def run(batch: int, hw: tuple[int, int], steps: int, bf16: bool,
         donate: bool = False, pallas_conv: bool = False,
         lane_pad: bool = False, preset: str | None = None,
         exact_sampling: bool = False, eval_mode: bool = False,
-        remat_concat: bool = False):
+        remat_concat: bool = False, grad_accum: int = 1):
     import jax
     import jax.numpy as jnp
 
     state, step_fn, batch_data = build_bench(batch, hw, bf16, memory, remat,
                                              remat_stem, donate, pallas_conv,
                                              lane_pad, preset, exact_sampling,
-                                             remat_concat)
+                                             remat_concat, grad_accum)
     if eval_mode:
         # Inference forward (engine/tester.py ss_test inner step), or the
         # full multi-scale + flip test (ms_test, BASELINE config 5) when
@@ -225,8 +227,23 @@ def run(batch: int, hw: tuple[int, int], steps: int, bf16: bool,
     # analysis (utils/flops.xla_flops idea; VERDICT.md weak-1: anchor the
     # bench in MFU, not vs-self).
     step_flops = None
+    # BENCH_XLA_OPTS="k=v,k2=v2": server-side compiler options (the axon
+    # relay rejects TPU flags in client XLA_FLAGS; PJRT compiler_options
+    # reach the real compiler).
+    copts = None
+    if os.environ.get("BENCH_XLA_OPTS"):
+        copts = dict(kv.split("=", 1)
+                     for kv in os.environ["BENCH_XLA_OPTS"].split(","))
     try:
-        compiled = step_fn.lower(state, batch_data).compile()
+        lowered = step_fn.lower(state, batch_data)
+        try:
+            compiled = (lowered.compile(compiler_options=copts)
+                        if copts else lowered.compile())
+        except Exception as e:  # noqa: BLE001 — unknown option etc.
+            if copts:
+                print(f"# compiler_options rejected ({e}); compiling plain",
+                      file=sys.stderr)
+            compiled = lowered.compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
@@ -341,10 +358,21 @@ def run_serve_bench(args) -> None:
         hw, batch, steps = (64, 128), args.batch or 1, min(args.steps, 3)
         backbone = "hrnet18"
     else:
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_TPU_CACHE_DIR",
+                               os.path.expanduser(
+                                   "~/.cache/jax_tpu_compcache")))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 10.0)
+        except Exception:
+            pass
         hw, batch, steps = (512, 1024), args.batch or 8, args.steps
         backbone = None
 
     cfg = get_preset("cityscapes_hrnet_w48_contrast")
+    cfg = cfg.updated("network.bf16", not args.fp32)
     if backbone:
         cfg = cfg.updated("network.backbone", backbone)
     model = build_model(cfg)
@@ -353,24 +381,32 @@ def run_serve_bench(args) -> None:
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
 
-    def fwd(images):
+    # Weights ride as ARGUMENTS, not baked HLO constants — the
+    # export_model.py --weights sidecar calling convention (weights.npz
+    # device_put once at server start, tools/serve.py).  The compile
+    # payload stays small: a constants-embedded W48 HLO is ~130-260 MB,
+    # which the axon relay's remote_compile rejects with HTTP 413.
+    def fwd(variables, images):
         out = model.apply(variables, images, train=False)
         seg = out["seg"] if isinstance(out, dict) else out
         return resize_bilinear_align_corners(seg, hw)
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (batch, *hw, 3)).astype(np.float32))
+    variables = jax.device_put(variables)
 
     live = jax.jit(fwd)
+    vspec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
     spec = jax.ShapeDtypeStruct((batch, *hw, 3), np.float32)
     served = jax.export.deserialize(
-        jax.export.export(jax.jit(fwd))(spec).serialize())
+        jax.export.export(jax.jit(fwd))(vspec, spec).serialize())
 
     def measure(fn):
-        jax.device_get(fn(x))  # warm/compile
+        jax.device_get(fn(variables, x))  # warm/compile
         t0 = time.perf_counter()
         for _ in range(steps):
-            y = fn(x)
+            y = fn(variables, x)
         jax.device_get(y)
         return batch * steps / (time.perf_counter() - t0)
 
@@ -439,6 +475,11 @@ def main() -> None:
                          "attempt donates, retries fall back; donation "
                          "faulted the axon worker in round 1 but measured "
                          "+0.5%% in round 2)")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="grad_accum_steps: microbatch the step (effective "
+                         "batch = --batch, activation memory = batch/N) — "
+                         "the OOM-avoiding lever for effective batch 16 "
+                         "on one v5e")
     ap.add_argument("--worker", action="store_true",
                     help="(internal) run the measurement in-process")
     ap.add_argument("--input", action="store_true",
@@ -560,6 +601,20 @@ def main() -> None:
         batch = args.batch or 1
         steps = min(args.steps, 3)
     else:
+        # Persistent compile cache for TPU workers too: repeat benches of
+        # the same (config, XLA_FLAGS) skip the 8-25 min remote compile.
+        import jax
+
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_TPU_CACHE_DIR",
+                               os.path.expanduser(
+                                   "~/.cache/jax_tpu_compcache")))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 10.0)
+        except Exception:
+            pass
         hw = (512, 1024)
         batch = args.batch or 8
         steps = args.steps
@@ -579,7 +634,7 @@ def main() -> None:
                        args.pallas_conv, args.lane_pad, args.preset,
                        args.exact_sampling,
                        ("ms" if args.ms_eval else args.eval),
-                       args.remat_concat)
+                       args.remat_concat, args.grad_accum)
             batch = b
             break
         except Exception as e:  # noqa: BLE001

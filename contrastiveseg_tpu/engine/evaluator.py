@@ -69,13 +69,34 @@ class Evaluator:
     def __init__(self, model, num_classes: int,
                  shard_fn: Optional[Callable] = None,
                  flip_average: bool = False,
-                 flip_pairs: Sequence[tuple[int, int]] = ()):
+                 flip_pairs: Sequence[tuple[int, int]] = (),
+                 batch_multiple: int = 1):
         self.num_classes = num_classes
         self.val_step = make_val_step(model, num_classes,
                                       flip_average=flip_average,
                                       flip_pairs=flip_pairs)
         self.score = RunningScore(num_classes)
         self.shard_fn = shard_fn
+        # Mesh-sharded validation: batches must divide over the data axis.
+        # Short batches are padded with zero images + ignore(-1) labels —
+        # confusion_matrix drops label<0, so padding adds exactly nothing
+        # (the reference instead all-reduces per-rank partial matrices,
+        # running_score.py:163-168; same math, one global program here).
+        self.batch_multiple = max(1, int(batch_multiple))
+
+    def _pad_batch(self, b: dict) -> dict:
+        n = b["image"].shape[0]
+        k = (-n) % self.batch_multiple
+        if k == 0:
+            return b
+        img = np.concatenate(
+            [b["image"],
+             np.zeros((k, *b["image"].shape[1:]), np.asarray(b["image"]).dtype)])
+        lab = np.concatenate(
+            [b["label"],
+             np.full((k, *b["label"].shape[1:]), -1,
+                     np.asarray(b["label"]).dtype)])
+        return {"image": img, "label": lab}
 
     def run(self, params, batch_stats, batches) -> dict:
         from collections import deque
@@ -106,7 +127,7 @@ class Evaluator:
                 continue
             b = {"image": batch["image"], "label": batch["label"]}
             if self.shard_fn is not None:
-                b = self.shard_fn(b)
+                b = self.shard_fn(self._pad_batch(b))
             pending.append(
                 (self.val_step(params, batch_stats, b["image"], b["label"]),
                  batch["image"].shape[0]))
@@ -274,7 +295,7 @@ class MLDirectionEvaluator:
         return scores
 
 
-def build_evaluator(cfg, model, shard_fn=None):
+def build_evaluator(cfg, model, shard_fn=None, batch_multiple: int = 1):
     """Pick the task evaluator from config (evaluator/__init__.py:11)."""
     kind = cfg.get("val.evaluator", default=None)
     if kind is None:
@@ -295,4 +316,5 @@ def build_evaluator(cfg, model, shard_fn=None):
         flip_average=cfg.get("val.flip_average", default=False),
         flip_pairs=[tuple(p) for p in
                     cfg.get("data.label_pairs", default=[]) or []],
+        batch_multiple=batch_multiple,
     )

@@ -153,7 +153,11 @@ class Trainer:
             shard_fn=(
                 (lambda b: shard_batch(b, self.mesh)) if self.mesh else None
             ),
+            batch_multiple=(
+                self.mesh.devices.size if self.mesh is not None else 1
+            ),
         )
+        self._val_pipe = None  # built once, reused across validate() calls
         self.ckpt = CheckpointManager(
             cfg.get("checkpoints.checkpoints_dir", default="./checkpoints"),
             cfg.get("checkpoints.checkpoints_name", default="seg"),
@@ -339,33 +343,48 @@ class Trainer:
         return last_scores
 
     def _reestimate_bn(self, data_iter, num_batches: int = 20) -> None:
-        """Re-estimate BN running stats for SWA-averaged params (the
-        torchcontrib bn_update step).  Divergence from the reference: an
-        EMA over `num_batches` train-mode forwards (momentum 0.9) instead
-        of a full-epoch exact average — converges to the same stats."""
-        import functools
+        """Re-estimate BN running stats for SWA-averaged params — EXACT
+        torchcontrib bn_update semantics (reference SWA hooks,
+        trainer_contrastive.py:291-296,422-425): the running stats become
+        the PLAIN AVERAGE of per-batch statistics over ``num_batches``
+        train-mode forwards (torchcontrib sets momentum=None, i.e. a
+        cumulative average).  flax BN emits an EMA
+        (new = m*old + (1-m)*batch); each batch's statistic is recovered
+        exactly as (new - m*old)/(1-m), then averaged uniformly.
+        Pinned against torch BatchNorm(momentum=None) in
+        tests/test_swa_bn.py."""
+        from contrastiveseg_tpu.models.layers import BN_MOMENTUM
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def fwd(params, batch_stats, images):
+        m = BN_MOMENTUM
+
+        @jax.jit
+        def batch_stats_of(params, base_stats, images):
             _, mut = self.model.apply(
-                {"params": params, "batch_stats": batch_stats},
+                {"params": params, "batch_stats": base_stats},
                 images, train=True, mutable=["batch_stats"],
                 rngs={"dropout": jax.random.PRNGKey(0)},
             )
-            return mut["batch_stats"]
+            return jax.tree.map(
+                lambda new, old: (new - m * old) / (1.0 - m),
+                mut["batch_stats"], base_stats)
 
-        bs = self.state.batch_stats
-        for _ in range(num_batches):
-            batch = next(data_iter)
-            img = batch["image"]
-            if self.mesh is not None:
-                img = shard_batch({"image": img}, self.mesh)["image"]
-            bs = fwd(self.state.params, bs, img)
-        self.state = self.state.replace(batch_stats=bs)
+        base = self.state.batch_stats
+        avg = None
+        for i in range(num_batches):
+            batch = next(data_iter)  # already device-placed/sharded
+            bstat = batch_stats_of(self.state.params, base, batch["image"])
+            if avg is None:
+                avg = bstat
+            else:
+                avg = jax.tree.map(
+                    lambda a, b, k=i: a * (k / (k + 1.0)) + b / (k + 1.0),
+                    avg, bstat)
+        self.state = self.state.replace(batch_stats=avg)
 
     def validate(self, max_batches: Optional[int] = None) -> dict:
-        val_pipe = build_pipeline(self.cfg, "val")
-        batches = val_pipe.epoch_iter(0)
+        if self._val_pipe is None:
+            self._val_pipe = build_pipeline(self.cfg, "val")
+        batches = self._val_pipe.epoch_iter(0)
         if max_batches is not None:
             import itertools
 

@@ -122,6 +122,13 @@ def upsampled_cross_entropy(
     activation is [B, row_block, W, C] instead of [B, H, W, C] (the full
     upsampled Cityscapes logits are 160MB fp32 x several autodiff copies,
     enough to OOM a 16GB chip at batch 8).
+
+    MXU layout: the block works in [B, C, rows, W] (channels OFF the
+    minor axis).  With NHWC blocks the upsample einsums put C=19 on the
+    128-lane axis (15% occupancy — measured 10.9 ms/step of the W48 step,
+    ~4x its bandwidth bound); contracting with W/H minor keeps every
+    matmul at full lane width and the softmax reduces over a major axis,
+    which the VPU vectorizes over lanes.
     """
     import numpy as np
 
@@ -141,14 +148,27 @@ def upsampled_cross_entropy(
     ).reshape(B, nb, row_block, W).transpose(1, 0, 2, 3)
 
     hp = jax.lax.Precision.HIGHEST
+    seg_t = jnp.transpose(seg.astype(jnp.float32), (0, 3, 1, 2))  # [B,C,h,w]
+    cw = (jnp.asarray(class_weight, jnp.float32)
+          if class_weight is not None else None)
+    c_iota = jnp.arange(C, dtype=labels.dtype)[None, :, None, None]
 
     @jax.checkpoint
     def block_loss(a_h_blk, lab_blk):
-        up = jnp.einsum("rp,bpqc->brqc", a_h_blk, seg.astype(jnp.float32),
-                        precision=hp)
-        up = jnp.einsum("oq,brqc->broc", a_w, up, precision=hp)
-        wce, wsum, _ = _per_pixel_ce(up, lab_blk, class_weight, ignore_index)
-        return jnp.sum(wce), jnp.sum(wsum)
+        up = jnp.einsum("rp,bcpq->bcrq", a_h_blk, seg_t, precision=hp)
+        up = jnp.einsum("oq,bcrq->bcro", a_w, up, precision=hp)  # [B,C,r,W]
+        valid = lab_blk != ignore_index
+        safe = jnp.clip(lab_blk, 0, C - 1)
+        onehot = safe[:, None, :, :] == c_iota
+        logp = jax.nn.log_softmax(up, axis=1)
+        nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=1)
+        if cw is not None:
+            wgt = jnp.sum(jnp.where(onehot, cw[None, :, None, None], 0.0),
+                          axis=1)
+        else:
+            wgt = jnp.ones_like(nll)
+        wgt = jnp.where(valid, wgt, 0.0)
+        return jnp.sum(nll * wgt), jnp.sum(wgt)
 
     def body(carry, inp):
         num, den = carry

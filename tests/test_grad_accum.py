@@ -72,6 +72,10 @@ def test_accum_matches_fullbatch_step():
     cfg = get_preset("smoke_hrnet_w18")
     cfg = cfg.updated("contrast.with_memory", False)
     cfg = cfg.updated("loss.loss_type", "contrast_ce_loss")
+    # Dropout draws a fresh mask per microbatch under the accum scan
+    # (train_step.py folds the step rng per microbatch), so the exact
+    # mean-of-means == full-mean identity only holds with dropout off.
+    cfg = cfg.updated("network.head_dropout", 0.0)
     model = build_model(cfg)
     loss_fn = build_loss(cfg)
     batch = _batch()
@@ -86,6 +90,24 @@ def test_accum_matches_fullbatch_step():
     step_accum = make_train_step(model, loss_fn, grad_accum_steps=2, **kw)
 
     s0 = _make_state(cfg, model, with_memory=False)
+    # Conditioning: freezing BN at its INIT stats (mean 0 / var 1) lets
+    # activations blow up ~100x by stage4 (measured |logit| 117, CE 58.7)
+    # — there, fp32 reduction-order noise in the conv wgrads reaches 1e-2
+    # relative and the exact mean-of-means identity drowns in it (it even
+    # varies with the XLA CPU thread partition, i.e. with the 8-virtual-
+    # device test env).  Warm the running stats with a few train-mode
+    # forwards first so the frozen net operates at |logit| ~ 1.5 like any
+    # real finetune would; the identity then holds to ~5e-6 in the grads.
+    bs = s0.batch_stats
+    for _ in range(3):
+        _, mut = model.apply(
+            {"params": s0.params, "batch_stats": bs},
+            batch["image"], train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        bs = mut["batch_stats"]
+    s0 = s0.replace(batch_stats=bs)
+
     s_full, m_full = step_full(s0, batch)
     s_acc, m_acc = step_accum(s0, batch)
 
@@ -95,9 +117,12 @@ def test_accum_matches_fullbatch_step():
     assert int(s_acc.step) == 1
     flat_f, _ = jax.tree_util.tree_flatten_with_path(s_full.params)
     flat_a, _ = jax.tree_util.tree_flatten_with_path(s_acc.params)
+    # Grad residual measured 5.6e-6 max abs (well-conditioned regime), so
+    # params differ by <= lr * that ~ 6e-8; atol 1e-5 gives margin while a
+    # wrong mean (missing /A) still fails by orders of magnitude.
     for (path, a), (_, b) in zip(flat_f, flat_a):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5,
             err_msg=f"param {jax.tree_util.keystr(path)} diverged")
 
 

@@ -19,7 +19,9 @@ serving, or a later jax version) can load and run.
 
 Artifacts: `<out>.stablehlo` (serialized jax.export blob) and
 `<out>.json` (input spec + normalize constants + class count, everything
-a server needs to preprocess correctly).
+a server needs to preprocess correctly).  With `--weights sidecar` the
+blob is weight-free and `<out>.weights.npz` carries the variables,
+passed as arguments at call time (see utils/tree_io.py for why).
 
 `--scope ms` exports the full multi-scale+flip fusion (test.scale_search
 unrolled into the graph) instead of the single-scale forward.
@@ -37,7 +39,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _build_forward(cfg, model, state, scope: str):
+def _build_forward(cfg, model, state, scope: str,
+                   weights_as_args: bool = False):
+    """Returns the eval forward.
+
+    ``weights_as_args=False`` (baked): ``fwd(images)`` closing over the
+    variables — a self-contained artifact carrying the weights as HLO
+    constants.  ``weights_as_args=True`` (sidecar): ``fwd(variables,
+    images)`` — the artifact is weight-free and a few MB; the variables
+    ship separately (utils/tree_io npz) and are passed at call time.
+    """
     import jax.numpy as jnp
 
     from contrastiveseg_tpu.ops.resize import resize_bilinear_align_corners
@@ -46,18 +57,15 @@ def _build_forward(cfg, model, state, scope: str):
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
 
-    def ss(images):
-        out = model.apply(variables, images, train=False)
+    def apply_ss(vars_, images):
+        out = model.apply(vars_, images, train=False)
         seg = out["seg"] if isinstance(out, dict) else out
         return resize_bilinear_align_corners(
             seg, (images.shape[1], images.shape[2]))
 
-    if scope == "ss":
-        return ss
-
     scales = cfg.get("test.scale_search", default=[0.75, 1.0, 1.25])
 
-    def ms(images):
+    def apply_ms(vars_, images):
         h, w = images.shape[1], images.shape[2]
         total = jnp.zeros((*images.shape[:3],
                            cfg.get("data.num_classes")), jnp.float32)
@@ -68,11 +76,15 @@ def _build_forward(cfg, model, state, scope: str):
                 if s != 1.0:
                     x = resize_bilinear_align_corners(
                         x, (int(h * s), int(w * s)))
-                pred = resize_bilinear_align_corners(ss(x), (h, w))
+                pred = resize_bilinear_align_corners(
+                    apply_ss(vars_, x), (h, w))
                 total = total + (pred[:, :, ::-1, :] if flip else pred)
         return total
 
-    return ms
+    apply_fn = apply_ss if scope == "ss" else apply_ms
+    if weights_as_args:
+        return apply_fn, variables
+    return (lambda images: apply_fn(variables, images)), variables
 
 
 def export_artifact(args) -> None:
@@ -96,7 +108,9 @@ def export_artifact(args) -> None:
     state = restore_eval_state(cfg, model, (h, w),
                                checkpoint=args.checkpoint)
 
-    fwd = _build_forward(cfg, model, state, args.scope)
+    sidecar = args.weights == "sidecar"
+    fwd, variables = _build_forward(cfg, model, state, args.scope,
+                                    weights_as_args=sidecar)
 
     if args.dynamic_batch:
         (batch_dim,) = jax.export.symbolic_shape("b")
@@ -105,11 +119,20 @@ def export_artifact(args) -> None:
         spec = jax.ShapeDtypeStruct((args.batch, h, w, 3), np.float32)
 
     platforms = args.platforms.split(",") if args.platforms else None
-    exported = jax.export.export(
-        jax.jit(fwd), platforms=platforms)(spec)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    if sidecar:
+        from contrastiveseg_tpu.utils.tree_io import save_tree_npz
+
+        vspec = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+        exported = jax.export.export(
+            jax.jit(fwd), platforms=platforms)(vspec, spec)
+        save_tree_npz(args.out + ".weights.npz", variables)
+    else:
+        exported = jax.export.export(
+            jax.jit(fwd), platforms=platforms)(spec)
     blob = exported.serialize()
 
-    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out + ".stablehlo", "wb") as f:
         f.write(blob)
     nz = cfg.get("normalize", default={})
@@ -127,6 +150,7 @@ def export_artifact(args) -> None:
             "std": list(nz.get("std", (0.229, 0.224, 0.225))),
         },
         "output": "logits at input resolution (argmax -> train ids)",
+        "weights": args.weights,
         "platforms": platforms or ["export-default"],
         "jax_version": jax.__version__,
         "calling_convention_version":
@@ -149,7 +173,13 @@ def load_artifact(args) -> None:
     shape = [d if isinstance(d, int) else args.batch
              for d in meta["input"]["shape"]]
     x = np.random.default_rng(0).uniform(-2, 2, shape).astype(np.float32)
-    out = exported.call(jax.numpy.asarray(x))
+    if meta.get("weights") == "sidecar":
+        from contrastiveseg_tpu.utils.tree_io import load_tree_npz
+
+        variables = jax.device_put(load_tree_npz(args.load + ".weights.npz"))
+        out = exported.call(variables, jax.numpy.asarray(x))
+    else:
+        out = exported.call(jax.numpy.asarray(x))
     out = np.asarray(out)
     assert np.isfinite(out).all(), "artifact produced non-finite logits"
     print(f"loaded {args.load}: input {x.shape} -> logits {out.shape}, "
@@ -170,6 +200,13 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--dynamic-batch", action="store_true")
     ap.add_argument("--scope", choices=["ss", "ms"], default="ss")
+    ap.add_argument("--weights", choices=["baked", "sidecar"],
+                    default="baked",
+                    help="baked: self-contained artifact (weights as HLO "
+                         "constants); sidecar: weight-free artifact + "
+                         "<out>.weights.npz passed at call time (small "
+                         "compile payloads; required behind relay-fronted "
+                         "TPU runtimes)")
     ap.add_argument("--platforms", default=None,
                     help="comma list, e.g. tpu,cpu (default: current "
                          "backend only)")

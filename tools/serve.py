@@ -47,6 +47,14 @@ class ArtifactRunner:
             self.exported = jax.export.deserialize(f.read())
         with open(artifact + ".json") as f:
             self.meta = json.load(f)
+        # --weights sidecar artifacts take the variables as the first
+        # call argument: load + device_put ONCE at server start.
+        self.variables = None
+        if self.meta.get("weights") == "sidecar":
+            from contrastiveseg_tpu.utils.tree_io import load_tree_npz
+
+            self.variables = jax.device_put(
+                load_tree_npz(artifact + ".weights.npz"))
         shape = self.meta["input"]["shape"]
         self.batch = None if isinstance(shape[0], str) else int(shape[0])
         self.h, self.w = int(shape[1]), int(shape[2])
@@ -74,7 +82,10 @@ class ArtifactRunner:
         if self.batch is not None and self.batch != 1:
             x = np.repeat(x, self.batch, axis=0)
         with self._lock:  # single accelerator: serialize dispatch
-            logits = np.asarray(self.exported.call(jax.numpy.asarray(x)))
+            xj = jax.numpy.asarray(x)
+            logits = np.asarray(
+                self.exported.call(self.variables, xj)
+                if self.variables is not None else self.exported.call(xj))
         return logits[0].argmax(-1).astype(np.int32)
 
 

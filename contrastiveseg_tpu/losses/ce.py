@@ -113,6 +113,7 @@ def upsampled_cross_entropy(
     class_weight: Optional[Sequence[float]] = None,
     ignore_index: int = -1,
     row_block: int = 64,
+    unroll: int = 4,
 ) -> jnp.ndarray:
     """CE on align-corners-upsampled logits without materializing them.
 
@@ -129,6 +130,13 @@ def upsampled_cross_entropy(
     ~4x its bandwidth bound); contracting with W/H minor keeps every
     matmul at full lane width and the softmax reduces over a major axis,
     which the VPU vectorizes over lanes.
+
+    The NLL is ``logsumexp(up) - up[true]`` rather than a materialized
+    ``log_softmax`` — identical values (both shift by the max), but the
+    [B, C, r, W] log-prob tensor never hits HBM, only its C-reduced
+    [B, r, W] marginals do.  ``unroll`` unrolls the row-block scan so XLA
+    can overlap the per-block einsum chains instead of serializing eight
+    dependent skinny matmuls behind one loop counter.
     """
     import numpy as np
 
@@ -160,8 +168,10 @@ def upsampled_cross_entropy(
         valid = lab_blk != ignore_index
         safe = jnp.clip(lab_blk, 0, C - 1)
         onehot = safe[:, None, :, :] == c_iota
-        logp = jax.nn.log_softmax(up, axis=1)
-        nll = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=1)
+        # log_softmax(up)[true] == up[true] - logsumexp(up): same max-shift
+        # arithmetic, but only the C-reduced marginals are materialized.
+        true_logit = jnp.sum(jnp.where(onehot, up, 0.0), axis=1)
+        nll = jax.nn.logsumexp(up, axis=1) - true_logit
         if cw is not None:
             wgt = jnp.sum(jnp.where(onehot, cw[None, :, None, None], 0.0),
                           axis=1)
@@ -179,6 +189,7 @@ def upsampled_cross_entropy(
     (num, den), _ = jax.lax.scan(
         body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
         (jnp.asarray(a_h), labels_p),
+        unroll=max(1, min(unroll, nb)),
     )
     return num / jnp.maximum(den, 1e-12)
 

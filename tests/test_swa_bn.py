@@ -90,27 +90,32 @@ def test_reestimate_bn_is_exact_batch_average(tmp_path):
     # SAME base, averaged uniformly.
     m = BN_MOMENTUM
 
-    def batch_stat(img):
+    # Mirror the trainer's jitted program exactly (apply + recovery inside
+    # one jit): XLA compiles identical jaxprs identically, so the per-batch
+    # stats below are bit-equal to the trainer's — unlike an eager forward,
+    # whose op-by-op execution reassociates the E[x^2]-E[x]^2 variance
+    # cancellation in deep layers by up to ~1e-3 vs the fused program.
+    @jax.jit
+    def batch_stat(params, base_stats, img):
         _, mut = t.model.apply(
-            {"params": t.state.params, "batch_stats": base},
+            {"params": params, "batch_stats": base_stats},
             img, train=True, mutable=["batch_stats"],
             rngs={"dropout": jax.random.PRNGKey(0)},
         )
         return jax.tree.map(
-            lambda new, old: (np.asarray(new) - m * np.asarray(old)) / (1 - m),
-            mut["batch_stats"], base)
+            lambda new, old: (new - m * old) / (1.0 - m),
+            mut["batch_stats"], base_stats)
 
-    stats = [batch_stat(b["image"]) for b in batches]
+    stats = [jax.device_get(batch_stat(t.state.params, base, b["image"]))
+             for b in batches]
     expected = jax.tree.map(lambda *xs: np.mean(xs, axis=0), *stats)
 
     flat_got = jax.tree_util.tree_leaves(jax.device_get(t.state.batch_stats))
     flat_exp = jax.tree_util.tree_leaves(expected)
     assert len(flat_got) == len(flat_exp) > 0
-    # Tolerance: the (new - m*old)/(1-m) recovery amplifies jit-vs-eager
-    # fusion noise 1/(1-m)=10x (the brute force below is a separately
-    # compiled program); measured max 3.3e-5 abs / 4.9e-4 rel across
-    # runner hosts.  The semantic error this guards against (EMA instead
-    # of torchcontrib's plain average) is O(1), so 1e-3 stays sharp.
+    # The per-batch stats are bit-equal (same jitted program); the only
+    # residual is the trainer's incremental on-device average vs np.mean —
+    # plain fp32 rounding, no amplification.
     for g, e in zip(flat_got, flat_exp):
         np.testing.assert_allclose(np.asarray(g), np.asarray(e),
-                                   rtol=1e-3, atol=1e-4)
+                                   rtol=1e-5, atol=1e-6)

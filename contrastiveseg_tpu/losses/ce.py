@@ -114,6 +114,7 @@ def upsampled_cross_entropy(
     ignore_index: int = -1,
     row_block: int = 64,
     unroll: int = 4,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """CE on align-corners-upsampled logits without materializing them.
 
@@ -137,6 +138,16 @@ def upsampled_cross_entropy(
     [B, r, W] marginals do.  ``unroll`` unrolls the row-block scan so XLA
     can overlap the per-block einsum chains instead of serializing eight
     dependent skinny matmuls behind one loop counter.
+
+    ``precision`` sets the MXU passes for the interpolation einsums:
+    "highest" (6-pass, exact fp32 — the default, matching the reference's
+    fp32 F.interpolate) or "default" (single-pass bf16 multiplies with
+    fp32 accumulation).  On TPU the train step opts into "default": the
+    model computes ``seg`` in bf16 anyway, so rounding the interp taps to
+    bf16 adds no new information loss, and the dense [H,h]/[W,w] bilinear
+    matmuls (46 GFLOP at the headline shape) drop from 6 MXU passes to 1.
+    On CPU every precision is exact fp32, so CPU parity tests see
+    identical values either way.
     """
     import numpy as np
 
@@ -155,7 +166,7 @@ def upsampled_cross_entropy(
         labels, ((0, 0), (0, Hp - H), (0, 0)), constant_values=ignore_index
     ).reshape(B, nb, row_block, W).transpose(1, 0, 2, 3)
 
-    hp = jax.lax.Precision.HIGHEST
+    hp = jax.lax.Precision(precision)
     seg_t = jnp.transpose(seg.astype(jnp.float32), (0, 3, 1, 2))  # [B,C,h,w]
     cw = (jnp.asarray(class_weight, jnp.float32)
           if class_weight is not None else None)

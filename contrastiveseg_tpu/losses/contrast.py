@@ -37,6 +37,14 @@ class ContrastCELoss:
     seg_loss_kind: str = "ce"  # ce | rmi | lovasz (contrast.use_rmi/use_lovasz)
     rmi_params: Optional[dict] = None
     kernel: str = "auto"  # auto | pallas | stream (mem-queue InfoNCE impl)
+    # MXU passes for the streamed-CE upsample einsums.  "default" =
+    # single-pass bf16 multiplies with fp32 accumulation — the TPU fast
+    # path (5.0 -> 1.1 ms/call at the headline shape, BENCH_NOTES_r05.md):
+    # the model computes seg in bf16 anyway, so bf16 interp taps add no new
+    # information loss.  CPU executes exact fp32 at every precision, so
+    # parity tests are unaffected.  loss.ce_precision=highest restores
+    # exact-fp32 interpolation on TPU.
+    ce_precision: str = "default"
 
     def __call__(
         self,
@@ -55,7 +63,8 @@ class ContrastCELoss:
             from contrastiveseg_tpu.losses.ce import upsampled_cross_entropy
 
             seg_loss = upsampled_cross_entropy(
-                seg, targets, self.class_weight, self.ignore_index
+                seg, targets, self.class_weight, self.ignore_index,
+                precision=self.ce_precision,
             )
             return self._finish(key, outputs, targets, with_embed, bank,
                                 seg, embed, seg_loss)

@@ -121,6 +121,7 @@ def _contrast(cfg, use_aux: bool):
         seg_loss_kind=kind,
         rmi_params=_rmi_params(cfg) if kind == "rmi" else None,
         kernel=cfg.get("contrast.kernel", default="auto"),
+        ce_precision=cfg.get("loss.ce_precision", default="default"),
         **_common(cfg),
     )
 

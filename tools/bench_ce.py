@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--grad", action="store_true", help="time value_and_grad")
     ap.add_argument("--row-blocks", default="32,64,128")
     ap.add_argument("--unrolls", default="1,2,4,8")
+    ap.add_argument("--precisions", default="highest",
+                    help="comma list: highest,high,default")
     args = ap.parse_args()
 
     import jax
@@ -50,10 +52,10 @@ def main() -> None:
     print(f"# device: {dev.device_kind}  shape: seg {seg.shape} bf16 -> "
           f"labels {labels.shape}", flush=True)
 
-    def run(rb: int, un: int) -> float:
+    def run(rb: int, un: int, prec: str) -> float:
         def one(s):
             return upsampled_cross_entropy(
-                s, labels, None, -1, row_block=rb, unroll=un)
+                s, labels, None, -1, row_block=rb, unroll=un, precision=prec)
 
         if args.grad:
             def one_g(s):
@@ -88,11 +90,12 @@ def main() -> None:
     rbs = [int(x) for x in args.row_blocks.split(",")]
     uns = [int(x) for x in args.unrolls.split(",")]
     mode = "fwd+grad" if args.grad else "fwd"
-    for rb in rbs:
-        for un in uns:
-            ms = run(rb, un)
-            print(f"row_block={rb:4d} unroll={un:2d}  {ms:8.3f} ms/call "
-                  f"({mode})", flush=True)
+    for prec in args.precisions.split(","):
+        for rb in rbs:
+            for un in uns:
+                ms = run(rb, un, prec)
+                print(f"prec={prec:8s} row_block={rb:4d} unroll={un:2d}  "
+                      f"{ms:8.3f} ms/call ({mode})", flush=True)
 
 
 if __name__ == "__main__":

@@ -26,7 +26,7 @@ from contrastiveseg_tpu.models.resnet import (
     ResNet,
     WiderResNetA2,
 )
-from contrastiveseg_tpu.models.vit import VIT_SPECS, ViT
+from contrastiveseg_tpu.models.vit import VIT_SPECS, ViTFeatures
 
 
 def build_backbone(name: str, dtype: Any = jnp.float32,
@@ -52,7 +52,7 @@ def build_backbone(name: str, dtype: Any = jnp.float32,
         return PVT(PVT_SPECS[name], img_size=img_size, dtype=dtype,
                    name=module_name)
     if name in VIT_SPECS:
-        return ViT(VIT_SPECS[name], dtype=dtype, name=module_name)
+        return ViTFeatures(VIT_SPECS[name], dtype=dtype, name=module_name)
     if name in HRNEXT_SPECS:
         return HRNetNext(arch=name, dtype=dtype, name=module_name)
     if name.startswith("mobilenet"):

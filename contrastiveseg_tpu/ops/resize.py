@@ -152,13 +152,42 @@ def subsample_stride(labels: jnp.ndarray, stride: int) -> jnp.ndarray:
     return labels[:, ::stride, ::stride]
 
 
-def resize_bilinear_half_pixel(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize with half-pixel centers == torch
-    ``align_corners=False`` (the MscaleOCR fusion path uses this,
-    ms_ocrnet.py Upsample/interpolate calls)."""
-    import jax.image
+@functools.lru_cache(maxsize=128)
+def _half_pixel_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """Row-stochastic [out, in] matrix for torch ``align_corners=False``
+    linear interp: ``src = max(0, (dst + 0.5) * in/out - 0.5)`` with the
+    high tap clamped to the last pixel (ATen
+    area_pixel_compute_source_index semantics)."""
+    A = np.zeros((out_size, in_size), dtype=np.float32)
+    scale = in_size / out_size
+    src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    src = np.maximum(src, 0.0)
+    lo = np.minimum(np.floor(src).astype(np.int64), in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (src - lo).astype(np.float32)
+    A[np.arange(out_size), lo] += 1.0 - frac
+    A[np.arange(out_size), hi] += frac
+    return A
 
-    B, _, _, C = x.shape
-    return jax.image.resize(
-        x, (B, size[0], size[1], C), method="linear", antialias=False
-    ).astype(x.dtype)
+
+def resize_bilinear_half_pixel(
+    x: jnp.ndarray, size: tuple[int, int], fast: bool = False
+) -> jnp.ndarray:
+    """Bilinear resize with half-pixel centers == torch
+    ``align_corners=False`` (the MscaleOCR fusion path, ms_ocrnet.py
+    Upsample/interpolate calls, and the SETR decoders' nn.Upsample).
+    Same separable-matrix MXU design as the align_corners path (no
+    gathers); exact torch semantics with fast=False."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[..., None]
+    h_out, w_out = size
+    _, h_in, w_in, _ = x.shape
+    if (h_in, w_in) == (h_out, w_out):
+        return x[..., 0] if squeeze else x
+    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
+    out = _separable_resize(
+        x, _half_pixel_matrix(h_out, h_in),
+        _half_pixel_matrix(w_out, w_in), precision,
+    )
+    return out[..., 0] if squeeze else out

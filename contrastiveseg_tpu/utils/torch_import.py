@@ -813,6 +813,93 @@ MEM_QUEUE_KEYS = ("segment_queue", "segment_queue_ptr",
                   "pixel_queue", "pixel_queue_ptr")
 
 
+def _patch_linear_to_conv(w: np.ndarray) -> np.ndarray:
+    """SETR's linear patch embed (setr.py:55,101-109) -> strided-conv kernel.
+
+    torch Linear weight [emb, p*p*c] over patches flattened pixels-row-major
+    with channels fastest == flax HWIO conv kernel [p, p, c, emb].  SETR
+    always runs on RGB (num_channels=3 in every factory, setr.py:447 etc.).
+    """
+    w = np.asarray(w)
+    emb, flat = w.shape
+    c = 3
+    p = int(round((flat // c) ** 0.5))
+    assert p * p * c == flat, (emb, flat)
+    return np.ascontiguousarray(w.T.reshape(p, p, c, emb))
+
+
+def _setr_encoder_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """ViT encoder (models/vit.py ViT) -> reference SegmentationTransformer
+    (setr.py:22-118 + transformer.py:87-119).  Blocks unroll to
+    ``transformer.net.{2i}`` (attention residual: fn.norm / fn.fn.{qkv,proj})
+    and ``transformer.net.{2i+1}`` (FF residual: fn.norm / fn.fn.net.{0,3})."""
+    name = path[0]
+    if name == "linear_encoding":
+        if path[1:] == ("kernel",):
+            return TorchKey("linear_encoding.weight", _patch_linear_to_conv)
+        if path[1:] == ("bias",):
+            return TorchKey("linear_encoding.bias")
+        return None
+    if name == "pos_embed" and len(path) == 1:
+        return TorchKey("position_encoding.pe.weight")
+    if name == "pre_head_ln":
+        return _layernorm("pre_head_ln", path[1:])
+    m = re.fullmatch(r"block(\d+)", name)
+    if m:
+        i = int(m.group(1))
+        attn_base = f"transformer.net.{2 * i}.fn"
+        ff_base = f"transformer.net.{2 * i + 1}.fn"
+        sub = path[1:]
+        if sub[0] == "norm1":
+            return _layernorm(f"{attn_base}.norm", sub[1:])
+        if sub[0] in ("qkv", "proj"):
+            return _linear(f"{attn_base}.fn.{sub[0]}", sub[1:])
+        if sub[0] == "norm2":
+            return _layernorm(f"{ff_base}.norm", sub[1:])
+        if sub[0] == "fc1":
+            return _linear(f"{ff_base}.fn.net.0", sub[1:])
+        if sub[0] == "fc2":
+            return _linear(f"{ff_base}.fn.net.3", sub[1:])
+    return None
+
+
+def _setr_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    """SETR (models/vit.py) -> reference SETR_Naive/PUP/MLA (setr.py).
+
+    Decoder names are disjoint across the three variants, so one mapper
+    serves all: Naive conv1/bn1/conv2 (setr.py:191-210); PUP pup{0..4} ->
+    decode_net.{0,2,4,6,8} (setr.py:272-289 — odd slots are Upsamples);
+    MLA mla{k}_{in,intmd,out1,out2} -> net{k+1}_{in.layer_1,
+    intmd.layer_intmd, out.layer_2, out.layer_3} + cls -> output_net.conv_1
+    (setr.py:330-433).  The reference's ``net1_intmd`` is dead code (decode
+    never calls it for the deepest tap, setr.py:364-367), so its two torch
+    keys legitimately stay unused on import.
+    """
+    if path[0] == "backbone":
+        return _setr_encoder_path(path[1:])
+    name = path[0]
+    if name in ("conv1", "conv2"):
+        return _plain_conv(name, path[1:])
+    if name == "bn1" and len(path) == 3 and path[1] == "bn":
+        return TorchKey(f"bn1.{_BN_LEAF[path[2]]}")
+    m = re.fullmatch(r"pup(\d)", name)
+    if m:
+        return _plain_conv(f"decode_net.{2 * int(m.group(1))}", path[1:])
+    m = re.fullmatch(r"mla(\d)_(in|intmd|out1|out2)", name)
+    if m:
+        k, part = int(m.group(1)), m.group(2)
+        layer = {"in": "in.layer_1", "intmd": "intmd.layer_intmd",
+                 "out1": "out.layer_2", "out2": "out.layer_3"}[part]
+        return _plain_conv(f"net{k + 1}_{layer}", path[1:])
+    if name == "cls":
+        return _plain_conv("output_net.conv_1", path[1:])
+    return None
+
+
+def setr_path(path: tuple[str, ...]) -> Optional[TorchKey]:
+    return _setr_path(path)
+
+
 def extract_memory_queues(torch_sd: dict) -> Optional[dict]:
     """Pop HRNet_W48_MEM's queue buffers (nets/hrnet.py:165-171) into our
     MemoryBank layout: [C, M, D] float32 queues + [C] int32 ring pointers
@@ -851,6 +938,7 @@ PATH_MAPPERS: dict[str, Callable[[tuple[str, ...]], Optional[TorchKey]]] = {
     "hrnet_mem": hrnet_mem_path,
     "pvt_backbone": pvt_backbone_path,
     "pcpvt_backbone": pcpvt_backbone_path,
+    "setr": setr_path,
 }
 
 
@@ -880,6 +968,8 @@ def mapper_for_model(model_name: str) -> str:
         return "ce2p"
     if model_name in ("base_ocnet", "asp_ocnet", "isanet"):
         return model_name
+    if model_name.startswith("setr"):
+        return "setr"
     if model_name.startswith("hrnet"):
         return "hrnet_seg"
     raise KeyError(

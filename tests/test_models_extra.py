@@ -183,3 +183,15 @@ def test_hrnet_isa_both_spellings():
         out, hw = _run(MODELS.build(name, _cfg(name, backbone="hrnet18")))
         assert out["seg"].shape == (1, *hw, 4)
         assert out["seg_aux"].shape == (1, *hw, 4)
+
+
+def test_setr_registry_smoke():
+    """setr_{naive,pup,mla} registry nets (vit/setr.py:158-433) build and
+    run at full vit_base dims; output is input-resolution logits.  (Parity
+    on imported weights: test_torch_parity.py::test_setr_forward_parity_eval.)
+    64x64 input -> 4x4 patch grid; decoders upsample x16 back to input."""
+    for name in ("setr_naive", "setr_pup", "setr_mla"):
+        out, hw = _run(MODELS.build(name, _cfg(name, backbone="vit_base")),
+                       hw=(64, 64))
+        assert out["seg"].shape == (1, *hw, 4), (name, out["seg"].shape)
+        assert np.isfinite(np.asarray(out["seg"])).all(), name

@@ -65,3 +65,28 @@ def test_scale_target_nearest_matches_torch():
         .numpy()
     )
     np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((4, 8), (64, 128)), ((16, 32), (7, 9)), ((9, 7), (16, 32)),
+     ((5, 5), (20, 20))],
+)
+def test_half_pixel_matches_torch(in_hw, out_hw):
+    """resize_bilinear_half_pixel == F.interpolate(align_corners=False)
+    (ATen area_pixel_compute_source_index semantics), both up and down,
+    via the separable-matrix MXU path."""
+    from contrastiveseg_tpu.ops.resize import resize_bilinear_half_pixel
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    ours = np.asarray(resize_bilinear_half_pixel(jnp.asarray(x), out_hw))
+    ref = (
+        F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=out_hw,
+            mode="bilinear", align_corners=False,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5)

@@ -850,3 +850,49 @@ def test_pvt_family_forward_parity_eval(arch):
         assert a.shape == b.shape, (lvl, a.shape, b.shape)
         err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
         assert err < 2e-3, f"{arch} level {lvl}: max rel err {err}"
+
+
+@pytest.mark.parametrize("decoder", ["naive", "pup", "mla"])
+def test_setr_forward_parity_eval(decoder):
+    """SETR Naive/PUP/MLA (vit/setr.py:158-433) forward parity on imported
+    weights — pins the linear patch embed's tap ordering, the bias-free qkv,
+    erf-GELU, eps=1e-5 layernorms, the raw (un-normalized) MLA taps with
+    deepest-first aggregation, and the half-pixel decoder upsamples.
+    The reference's ``net1_intmd`` is dead code (setr.py:364-367 never call
+    it), so exactly its two keys stay unused on MLA import."""
+    from contrastiveseg_tpu.models.vit import SETR, ViTSpec
+
+    net = torch_ref.build_setr(decoder, img_dim=64, patch_dim=16,
+                               num_classes=5, embedding_dim=32, num_heads=4,
+                               num_layers=4, hidden_dim=64, seed=0)
+    sd = torch_ref.state_dict_numpy(net)
+
+    spec = ViTSpec(patch_size=16, embed_dim=32, depth=4, num_heads=4,
+                   hidden_dim=64, dropout_rate=0.0, attn_dropout_rate=0.0,
+                   aux_layers=(1, 2, 3, 4))
+    model = SETR(num_classes=5, decoder=decoder, spec=spec)
+    x = np.random.RandomState(7).randn(2, 64, 64, 3).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x), train=False)
+    newvars, report = ti.convert_state_dict(variables, sd, "setr")
+    assert report["missing"] == [], report["missing"][:10]
+    # position_ids is a constant arange buffer (position_encoding.py:31-34),
+    # not a weight; MLA's net1_intmd is dead code upstream.
+    expected_unused = {"position_encoding.position_ids"}
+    if decoder == "mla":
+        expected_unused |= {"net1_intmd.layer_intmd.weight",
+                            "net1_intmd.layer_intmd.bias"}
+    assert set(report["unused"]) == expected_unused, report["unused"][:10]
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    with torch.no_grad():
+        if decoder == "mla":
+            out_t = net(xt, auxillary_output_layers=[1, 2, 3, 4])[0]
+        else:
+            out_t = net(xt)
+    out_j = model.apply(newvars, jnp.asarray(x), train=False)["seg"]
+    a = out_t.numpy()
+    b = np.transpose(np.asarray(out_j), (0, 3, 1, 2))
+    assert a.shape == b.shape, (a.shape, b.shape)
+    err = np.abs(a - b).max() / max(np.abs(a).max(), 1.0)
+    assert err < 2e-3, f"setr_{decoder}: max rel err {err}"

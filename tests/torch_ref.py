@@ -574,3 +574,28 @@ def build_pvt_backbone(arch, img_size=64, seed=0):
     net = fn(configer=c)
     net.eval()
     return net
+
+
+def build_setr(decoder, img_dim=64, patch_dim=16, num_classes=5,
+               embedding_dim=32, num_heads=4, num_layers=4, hidden_dim=64,
+               seed=0):
+    """Reference SETR_Naive / SETR_PUP / SETR_MLA
+    (lib/models/backbones/vit/setr.py:158-433) at test-sized dims, eval.
+    Dropout rates zeroed (eval mode drops them anyway; keeps intent clear).
+    """
+    import torch
+
+    setup_reference()
+    torch.manual_seed(seed)
+    from lib.models.backbones.vit import setr as S
+
+    cls = {"naive": S.SETR_Naive, "pup": S.SETR_PUP, "mla": S.SETR_MLA}[decoder]
+    net = cls(
+        img_dim, patch_dim, 3, num_classes,
+        embedding_dim=embedding_dim, num_heads=num_heads,
+        num_layers=num_layers, hidden_dim=hidden_dim,
+        dropout_rate=0.0, attn_dropout_rate=0.0,
+        conv_patch_representation=False, positional_encoding_type="learned",
+    )
+    net.eval()
+    return net
